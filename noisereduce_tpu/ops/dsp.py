@@ -1,0 +1,176 @@
+"""Elementwise / small-kernel DSP ops for spectral gating.
+
+Each op documents the reference behavior it reproduces (file:line into
+/root/reference). All ops are pure, dtype-polymorphic, and operate on the
+last one or two axes with arbitrary leading batch axes, so they compose with
+``vmap``/``shard_map`` and fuse under ``jit``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "amp_to_db",
+    "sigmoid",
+    "temperature_sigmoid",
+    "triangular_vector",
+    "smooth_mask",
+    "ewma_filtfilt",
+    "moving_average_same",
+]
+
+# float64 machine epsilon — the reference uses this constant in *both*
+# backends regardless of compute dtype (spectralgate/utils.py:11,
+# torchgate/utils.py:6).
+_EPS_F64 = float(np.finfo(np.float64).eps)
+
+
+def amp_to_db(x: jax.Array, top_db: float = 80.0, eps: float = _EPS_F64) -> jax.Array:
+    """Amplitude -> dB with a per-row dynamic-range floor.
+
+    ``20*log10(|x| + eps)`` floored at (max over the last axis) - top_db.
+    NumPy engine uses top_db=80 (spectralgate/utils.py:11-16); TorchGate uses
+    top_db=40 (torchgate/utils.py:6-23).
+    """
+    mag = jnp.abs(x)
+    x_db = 20.0 * jnp.log10(mag + jnp.asarray(eps, dtype=mag.dtype))
+    floor = jnp.max(x_db, axis=-1, keepdims=True) - top_db
+    return jnp.maximum(x_db, floor)
+
+
+def sigmoid(x: jax.Array, shift: float, mult: float) -> jax.Array:
+    """``1 / (1 + exp(-(x + shift) * mult))`` (spectralgate/utils.py:4-8)."""
+    return jax.nn.sigmoid((x + shift) * mult)
+
+
+def temperature_sigmoid(x: jax.Array, x0: float, temp_coeff: float) -> jax.Array:
+    """``sigmoid((x - x0) / temp)`` (torchgate/utils.py:27-39)."""
+    return jax.nn.sigmoid((x - x0) / temp_coeff)
+
+
+# ---------------------------------------------------------------------------
+# Mask smoothing: separable triangular filter
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def triangular_vector(n_grad: int) -> np.ndarray:
+    """Length-(2n+1) symmetric triangular ramp, unnormalized float64.
+
+    Equals the reference's concatenated linspace construction
+    (spectralgate/base.py:14-27, torchgate/torchgate.py:113-123):
+    [1,...,n]/(n+1), 1, [n,...,1]/(n+1).
+    """
+    up = np.linspace(0.0, 1.0, n_grad + 1, endpoint=False)
+    down = np.linspace(1.0, 0.0, n_grad + 2)
+    return np.concatenate([up, down])[1:-1]
+
+
+@functools.lru_cache(maxsize=None)
+def _smoothing_vectors_np(n_grad_freq: int, n_grad_time: int):
+    """Separable factors of the normalized 2-D smoothing filter.
+
+    The reference builds ``outer(v_f, v_t) / outer.sum()``
+    (spectralgate/base.py:7-29); since the filter is rank-1 we convolve with
+    ``v_f / v_f.sum()`` along frequency then ``v_t / v_t.sum()`` along time —
+    two cheap 1-D convs instead of one 2-D conv, identical result.
+    """
+    v_f = triangular_vector(n_grad_freq)
+    v_t = triangular_vector(n_grad_time)
+    return v_f / v_f.sum(), v_t / v_t.sum()
+
+
+def _conv1d_same_last(x: jax.Array, kernel_np: np.ndarray, pad_left: int, pad_right: int) -> jax.Array:
+    """Cross-correlate the last axis of (..., T) with a static 1-D kernel,
+    with explicit (pad_left, pad_right) zero padding. Batch axes collapse to
+    one conv batch dim."""
+    k = len(kernel_np)
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    xb = x.reshape((-1, 1, t))
+    kern = jnp.asarray(kernel_np, dtype=x.dtype).reshape((1, 1, k))
+    out = jax.lax.conv_general_dilated(
+        xb,
+        kern,
+        window_strides=(1,),
+        padding=[(pad_left, pad_right)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out.reshape(batch_shape + (out.shape[-1],))
+
+
+def smooth_mask(
+    mask: jax.Array, n_grad_freq: int, n_grad_time: int
+) -> jax.Array:
+    """Smooth a (..., freq, time) mask with the normalized triangular filter.
+
+    Matches ``fftconvolve(mask, outer(v_f, v_t)/sum, mode='same')``
+    (stationary.py:110-114, nonstationary.py:78-81) and TorchGate's
+    ``conv2d(..., padding='same')`` (torchgate.py:244-249): both kernels are
+    odd-length and symmetric, so 'same' cropping is symmetric and
+    cross-correlation equals convolution.
+    """
+    v_f, v_t = _smoothing_vectors_np(n_grad_freq, n_grad_time)
+    out = mask
+    if len(v_f) > 1:
+        out = jnp.swapaxes(out, -1, -2)
+        out = _conv1d_same_last(out, v_f, n_grad_freq, n_grad_freq)
+        out = jnp.swapaxes(out, -1, -2)
+    if len(v_t) > 1:
+        out = _conv1d_same_last(out, v_t, n_grad_time, n_grad_time)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Non-stationary noise floors
+# ---------------------------------------------------------------------------
+def _ewma_forward(x: jax.Array, b: float) -> jax.Array:
+    """First-order recurrence y[0]=x[0]; y[t] = b*x[t] + (1-b)*y[t-1] along
+    the last axis, as a log-depth associative scan.
+
+    This is exactly ``scipy.signal.lfilter([b], [1, b-1], x, zi=zi*x[0])``
+    with zi = lfilter_zi = 1-b, i.e. the internal recurrence of the
+    reference's ``filtfilt(..., padtype=None)`` call
+    (nonstationary.py:106-115).
+    """
+    a = jnp.full_like(x, 1.0 - b)
+    # Element 0 carries the initial condition: y[0] = x[0].
+    a = a.at[..., 0].set(0.0)
+    bx = x * jnp.asarray(b, dtype=x.dtype)
+    bx = bx.at[..., 0].set(x[..., 0])
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(combine, (a, bx), axis=-1)
+    return y
+
+
+def ewma_filtfilt(x: jax.Array, b: float) -> jax.Array:
+    """Zero-phase forward-backward first-order low-pass along the last axis.
+
+    Equals ``scipy.signal.filtfilt([b], [1, b-1], x, axis=-1, padtype=None)``
+    (nonstationary.py:115) including the lfilter_zi initial conditions
+    (y starts at the first sample in each direction).
+    """
+    fwd = _ewma_forward(x, b)
+    bwd = _ewma_forward(jnp.flip(fwd, axis=-1), b)
+    return jnp.flip(bwd, axis=-1)
+
+
+def moving_average_same(x: jax.Array, n: int) -> jax.Array:
+    """Torch-convention 'same' moving average along the last axis.
+
+    Matches TorchGate's ``conv1d(x, ones(n)/n, padding='same')``
+    (torchgate.py:179-190): zero padding split left=(n-1)//2,
+    right=n-1-left (torch pads more on the right for even n).
+    """
+    left = (n - 1) // 2
+    right = (n - 1) - left
+    kernel = np.full(n, 1.0 / n, dtype=np.float64)
+    return _conv1d_same_last(x, kernel, left, right)
