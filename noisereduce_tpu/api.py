@@ -1,0 +1,297 @@
+"""Public API: ``reduce_noise`` — signature-compatible with the reference
+(noisereduce/noisereduce.py:13-185), executing as fused JAX/XLA graphs.
+
+Compatibility notes:
+  - ``n_jobs``, ``use_tqdm``, ``tmp_folder`` are accepted for drop-in
+    compatibility. Chunk parallelism here is a vmapped (optionally
+    mesh-sharded) axis inside one device launch, so they are no-ops —
+    except the reference's ``n_jobs != 1 with use_torch`` ValueError, which
+    is preserved.
+  - ``use_torch=True`` selects the torch-convention gate (TPUGate) — no
+    torch dependency; ``device`` selects a JAX device ("tpu"/"cpu"/None).
+  - The reference computes in float64 (spectralgate/base.py:140). Here the
+    compute dtype defaults to float64 when jax x64 is enabled (CPU parity)
+    and float32 otherwise (TPU). Override with ``compute_dtype``.
+
+Extra TPU-native kwargs (all optional): ``compute_dtype``, ``method``
+('auto' picks matmul-DFT on TPU, FFT on CPU), ``mesh`` (a
+``jax.sharding.Mesh`` to shard the chunk axis over devices).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noisereduce_tpu.config import Convention, GateConfig
+from noisereduce_tpu.models.spectral_gate import (
+    gate_nonstationary,
+    gate_stationary,
+    stationary_noise_threshold,
+)
+from noisereduce_tpu.models.tpu_gate import TPUGate
+from noisereduce_tpu.parallel.chunking import process_chunked
+
+__all__ = ["reduce_noise"]
+
+
+# ---------------------------------------------------------------------------
+# jitted pipeline entry points (config objects are static)
+# ---------------------------------------------------------------------------
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name"),
+)
+def _run_stationary(
+    y2d, y_noise_mono, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks"
+):
+    thresh = stationary_noise_threshold(y_noise_mono, cfg, method=method)
+    fn = lambda c, t: gate_stationary(c, t, cfg, method=method)
+    return process_chunked(
+        fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name, extra=(thresh,)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name"),
+)
+def _run_nonstationary(
+    y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks"
+):
+    fn = lambda c: gate_nonstationary(c, cfg, method=method)
+    return process_chunked(
+        fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gate", "chunk_size", "padding", "method", "mesh", "axis_name"),
+)
+def _run_torch_gate(
+    y2d, y_noise, gate, chunk_size, padding, method, mesh=None, axis_name="chunks"
+):
+    def one(chunk, xn):
+        # TPUGate returns torch's natural (shorter) istft length; the
+        # reference writes it into a zeros buffer of the chunk's shape
+        # (base.py:144-150 slicing semantics) — zero-fill the tail.
+        out = gate(chunk, xn, method=method)
+        deficit = chunk.shape[-1] - out.shape[-1]
+        if deficit:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
+        return out
+
+    def call(chunk, *extra):
+        xn = extra[0] if extra else None
+        if chunk.ndim == 3:  # (channels, n_chunks, view): vmap the chunk axis
+            return jax.vmap(
+                lambda c: one(c, xn), in_axes=-2, out_axes=-2
+            )(chunk)
+        return one(chunk, xn)
+
+    extra = () if y_noise is None else (y_noise,)
+    return process_chunked(
+        call, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name, extra=extra
+    )
+
+
+# ---------------------------------------------------------------------------
+def _default_compute_dtype():
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def _as_2d(y: np.ndarray):
+    """Reference input normalization (base.py:52-62): 1-D -> (1, n) + flat
+    flag; >2-D rejected."""
+    if y.ndim == 1:
+        return y[None, :], True
+    if y.ndim > 2:
+        raise ValueError("Waveform must be in shape (# frames, # channels)")
+    return y, False
+
+
+def reduce_noise(
+    y,
+    sr,
+    stationary=False,
+    y_noise=None,
+    prop_decrease=1.0,
+    time_constant_s=2.0,
+    freq_mask_smooth_hz=500,
+    time_mask_smooth_ms=50,
+    thresh_n_mult_nonstationary=2,
+    sigmoid_slope_nonstationary=10,
+    n_std_thresh_stationary=1.5,
+    tmp_folder=None,
+    chunk_size=600000,
+    padding=30000,
+    n_fft=1024,
+    win_length=None,
+    hop_length=None,
+    clip_noise_stationary=True,
+    use_tqdm=False,
+    n_jobs=1,
+    use_torch=False,
+    device=None,
+    # --- TPU-native extras (defaults preserve reference behavior) ---
+    compute_dtype=None,
+    method="auto",
+    mesh=None,
+):
+    """Reduce noise via spectral gating (reference noisereduce.py:13-185).
+
+    Parameters mirror the reference exactly; see module docstring for the
+    compatibility/no-op notes and the TPU-native extras.
+
+    Returns a NumPy array with the input's shape and dtype.
+    """
+    del tmp_folder, use_tqdm  # chunk fan-out is an XLA axis, not processes
+    if use_torch and n_jobs != 1:
+        raise ValueError(
+            "n_jobs must be 1 when using torch version of spectral gating."
+        )
+
+    y = np.asarray(y)
+    out_dtype = y.dtype
+    y2d, flat = _as_2d(y)
+    cdtype = compute_dtype or _default_compute_dtype()
+    y2d = jnp.asarray(y2d, dtype=cdtype)
+
+    if device is not None:
+        dev = jax.devices(device)[0] if isinstance(device, str) else device
+        y2d = jax.device_put(y2d, dev)
+
+    axis_name = mesh.axis_names[0] if mesh is not None else "chunks"
+
+    if use_torch:
+        out = _reduce_noise_torch_path(
+            y2d,
+            sr,
+            stationary,
+            y_noise,
+            prop_decrease,
+            time_constant_s,
+            freq_mask_smooth_hz,
+            time_mask_smooth_ms,
+            thresh_n_mult_nonstationary,
+            sigmoid_slope_nonstationary,
+            n_std_thresh_stationary,
+            chunk_size,
+            padding,
+            n_fft,
+            win_length,
+            hop_length,
+            clip_noise_stationary,
+            method,
+            cdtype,
+            mesh,
+            axis_name,
+        )
+    elif stationary:
+        cfg = GateConfig(
+            sr=sr,
+            stationary=True,
+            prop_decrease=prop_decrease,
+            time_constant_s=time_constant_s,
+            freq_mask_smooth_hz=freq_mask_smooth_hz,
+            time_mask_smooth_ms=time_mask_smooth_ms,
+            n_std_thresh_stationary=n_std_thresh_stationary,
+            n_fft=n_fft,
+            win_length=win_length,
+            hop_length=hop_length,
+            convention=Convention.SCIPY,
+        )
+        # noise clip handling (stationary.py:47-64): default to y, mono
+        # collapse, optional clip to chunk_size samples
+        if y_noise is None:
+            yn2d = y2d
+        else:
+            yn = np.asarray(y_noise)
+            yn2d, _ = _as_2d(yn)
+            yn2d = jnp.asarray(yn2d, dtype=cdtype)
+        yn_mono = jnp.mean(yn2d, axis=0)
+        if clip_noise_stationary:
+            yn_mono = yn_mono[:chunk_size]
+        out = _run_stationary(
+            y2d, yn_mono, cfg, chunk_size, padding, method, mesh, axis_name
+        )
+    else:
+        cfg = GateConfig(
+            sr=sr,
+            stationary=False,
+            prop_decrease=prop_decrease,
+            time_constant_s=time_constant_s,
+            freq_mask_smooth_hz=freq_mask_smooth_hz,
+            time_mask_smooth_ms=time_mask_smooth_ms,
+            thresh_n_mult_nonstationary=thresh_n_mult_nonstationary,
+            sigmoid_slope_nonstationary=sigmoid_slope_nonstationary,
+            n_fft=n_fft,
+            win_length=win_length,
+            hop_length=hop_length,
+            convention=Convention.SCIPY,
+        )
+        out = _run_nonstationary(
+            y2d, cfg, chunk_size, padding, method, mesh, axis_name
+        )
+
+    out = np.asarray(out).astype(out_dtype)
+    return out.flatten() if flat else out
+
+
+def _reduce_noise_torch_path(
+    y2d,
+    sr,
+    stationary,
+    y_noise,
+    prop_decrease,
+    time_constant_s,
+    freq_mask_smooth_hz,
+    time_mask_smooth_ms,
+    thresh_n_mult_nonstationary,
+    sigmoid_slope_nonstationary,
+    n_std_thresh_stationary,
+    chunk_size,
+    padding,
+    n_fft,
+    win_length,
+    hop_length,
+    clip_noise_stationary,
+    method,
+    cdtype,
+    mesh=None,
+    axis_name="chunks",
+):
+    """StreamedTorchGate-equivalent dispatch (streamed_torch_gate.py:12-87):
+    parameter mapping temp_coeff = 1/slope, n_movemean = time_constant·sr/hop;
+    noise kept multi-channel, clipped to the SIGNAL length (not chunk_size)."""
+    win = n_fft if win_length is None else win_length
+    hop = win // 4 if hop_length is None else hop_length
+    gate = TPUGate(
+        sr=sr,
+        nonstationary=not stationary,
+        n_std_thresh_stationary=n_std_thresh_stationary,
+        n_thresh_nonstationary=thresh_n_mult_nonstationary,
+        temp_coeff_nonstationary=1 / sigmoid_slope_nonstationary,
+        n_movemean_nonstationary=int(time_constant_s / hop * sr),
+        prop_decrease=prop_decrease,
+        n_fft=n_fft,
+        win_length=win_length,
+        hop_length=hop_length,
+        freq_mask_smooth_hz=freq_mask_smooth_hz,
+        time_mask_smooth_ms=time_mask_smooth_ms,
+    )
+    yn = None
+    if y_noise is not None:
+        yn = np.asarray(y_noise)
+        if yn.shape[-1] > y2d.shape[-1] and clip_noise_stationary:
+            yn = yn[..., : y2d.shape[-1]]
+        if yn.ndim == 1:
+            yn = yn[None, :]
+        yn = jnp.asarray(yn, dtype=cdtype)
+    return _run_torch_gate(
+        y2d, yn, gate, chunk_size, padding, method, mesh, axis_name
+    )

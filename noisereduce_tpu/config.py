@@ -45,6 +45,11 @@ class StftConfig:
     win_length: Optional[int] = None
     hop_length: Optional[int] = None
     convention: str = Convention.SCIPY
+    # Reference TorchGate builds its window as torch.hann_window(win) with
+    # the DEFAULT float32 dtype even for float64 signals
+    # (torchgate/torchgate.py:231,261) — enable to reproduce that f32-rounded
+    # window exactly (needed for ≤1e-4 parity on int16-scale audio).
+    quantize_window_f32: bool = False
 
     def __post_init__(self):
         if self.win_length is None:

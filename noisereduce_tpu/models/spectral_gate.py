@@ -1,0 +1,112 @@
+"""Fused spectral-gating pipelines (NumPy-engine semantics), pure JAX.
+
+The reference implements these as per-channel Python loops over scipy calls
+(spectralgate/stationary.py:83-126, spectralgate/nonstationary.py:47-95).
+Here each pipeline is ONE pure function on a (..., samples) array — a single
+XLA graph: STFT → statistics/floor → mask → smooth → mask·STFT → ISTFT, all
+HBM-resident, batchable over channels/chunks with vmap and shardable with
+shard_map.
+
+Per-path quirk parity (SURVEY.md §5.3):
+  - stationary applies prop_decrease BEFORE smoothing (stationary.py:108-114)
+  - non-stationary applies it AFTER smoothing (nonstationary.py:78-84)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from noisereduce_tpu.config import GateConfig
+from noisereduce_tpu.ops import (
+    amp_to_db,
+    ewma_filtfilt,
+    sigmoid,
+    smooth_mask,
+    stft,
+    istft,
+)
+
+__all__ = [
+    "stationary_noise_threshold",
+    "gate_stationary",
+    "gate_nonstationary",
+]
+
+
+def _apply_mask_and_invert(
+    Z: jax.Array, mask: jax.Array, cfg: GateConfig, n_samples: int, method: str
+) -> jax.Array:
+    """mask · STFT → ISTFT, zero-filled back to the input length.
+
+    The reference writes the (shorter) ISTFT output into a zeros buffer of
+    the chunk's shape (stationary.py:85,126; nonstationary.py:49,95).
+    """
+    y = istft(Z * mask.astype(Z.dtype), cfg.stft, method=method)
+    out_len = y.shape[-1]
+    if out_len < n_samples:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_samples - out_len)])
+    elif out_len > n_samples:
+        y = y[..., :n_samples]
+    return y
+
+
+def stationary_noise_threshold(
+    y_noise: jax.Array, cfg: GateConfig, method: str = "auto"
+) -> jax.Array:
+    """Per-frequency dB threshold from a (mono) noise clip.
+
+    mean + std * n_std_thresh over time of the noise dB spectrogram
+    (stationary.py:67-81; np.std ddof=0).
+    """
+    Zn = stft(y_noise, cfg.stft, method=method)
+    Zn_db = amp_to_db(Zn, top_db=80.0)
+    mean = jnp.mean(Zn_db, axis=-1)
+    std = jnp.std(Zn_db, axis=-1)  # ddof=0, matching np.std
+    return mean + std * cfg.n_std_thresh_stationary
+
+
+def gate_stationary(
+    chunk: jax.Array,
+    noise_thresh: jax.Array,
+    cfg: GateConfig,
+    method: str = "auto",
+) -> jax.Array:
+    """Stationary spectral gate over (..., samples) (stationary.py:83-126)."""
+    n_samples = chunk.shape[-1]
+    Z = stft(chunk, cfg.stft, method=method)
+    Z_db = amp_to_db(Z, top_db=80.0)
+    # mask where the signal rises above the per-frequency noise threshold
+    mask = (Z_db > noise_thresh[..., :, None]).astype(Z_db.dtype)
+    # prop_decrease blend FIRST (stationary-path order)
+    mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+    smoothing = cfg.smoothing
+    if smoothing is not None:
+        mask = smooth_mask(mask, *smoothing)
+    return _apply_mask_and_invert(Z, mask, cfg, n_samples, method)
+
+
+def gate_nonstationary(
+    chunk: jax.Array, cfg: GateConfig, method: str = "auto"
+) -> jax.Array:
+    """Non-stationary spectral gate over (..., samples)
+    (nonstationary.py:47-95)."""
+    n_samples = chunk.shape[-1]
+    Z = stft(chunk, cfg.stft, method=method)
+    mag = jnp.abs(Z)
+    # time-smoothed noise floor: zero-phase first-order IIR per frequency row
+    # (nonstationary.py:106-115) as an associative scan
+    floor = ewma_filtfilt(mag, cfg.iir_b)
+    ratio = (mag - floor) / floor
+    mask = sigmoid(
+        ratio,
+        -cfg.thresh_n_mult_nonstationary,
+        cfg.sigmoid_slope_nonstationary,
+    )
+    smoothing = cfg.smoothing
+    if smoothing is not None:
+        mask = smooth_mask(mask, *smoothing)
+    # prop_decrease blend AFTER smoothing (non-stationary-path order)
+    mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+    return _apply_mask_and_invert(Z, mask, cfg, n_samples, method)

@@ -1,0 +1,183 @@
+"""TPUGate — differentiable spectral-gating module (TorchGate equivalent).
+
+Mirrors the reference's ``TorchGate`` nn.Module (torchgate/torchgate.py:7-264)
+with torch STFT conventions, but as a jit/vmap/grad-compatible JAX callable:
+
+* The reference wraps everything except ``forward``'s body in
+  ``@torch.no_grad()``; here the whole pipeline is differentiable — gradients
+  through the gate are a feature (embed it in training loops, BASELINE.json
+  config #5).
+* Torch-path quirks preserved: ``amp_to_db`` with top_db=40
+  (torchgate/utils.py:6), noise statistics with ddof=1 (``torch.std_mean``
+  default, torchgate.py:157), moving-average noise floor (torchgate.py:179-190),
+  ``temperature_sigmoid`` (torchgate.py:192-197), prop_decrease blend BEFORE
+  conv2d smoothing (torchgate.py:241-249).
+
+The module is a frozen dataclass of static hyper-parameters (registered as a
+pytree with no leaves), so it can be closed over or passed through jit
+boundaries freely.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from noisereduce_tpu.config import Convention, GateConfig, StftConfig, smoothing_kernel_sizes
+from noisereduce_tpu.ops import (
+    amp_to_db,
+    moving_average_same,
+    smooth_mask_2d_torchgate,
+    stft,
+    istft,
+    temperature_sigmoid,
+)
+
+__all__ = ["TPUGate", "stationary_mask_torch", "nonstationary_mask_torch"]
+
+
+def stationary_mask_torch(
+    X_db: jax.Array,
+    XN_db: Optional[jax.Array],
+    n_std_thresh: float,
+) -> jax.Array:
+    """Binary mask: X_db > per-(batch,freq) noise threshold
+    (torchgate.py:126-165). Noise stats use ddof=1 (torch.std default)."""
+    ref_db = X_db if XN_db is None else XN_db
+    mean = jnp.mean(ref_db, axis=-1)
+    n = ref_db.shape[-1]
+    var = jnp.var(ref_db, axis=-1) * (n / (n - 1))  # unbiased, torch default
+    thresh = mean + jnp.sqrt(var) * n_std_thresh
+    return (X_db > thresh[..., None]).astype(X_db.dtype)
+
+
+def nonstationary_mask_torch(
+    X_abs: jax.Array, n_movemean: int, n_thresh: float, temp_coeff: float
+) -> jax.Array:
+    """Moving-average noise floor + temperature sigmoid
+    (torchgate.py:167-198)."""
+    X_smoothed = moving_average_same(X_abs, n_movemean)
+    ratio = (X_abs - X_smoothed) / X_smoothed
+    return temperature_sigmoid(ratio, n_thresh, temp_coeff)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPUGate:
+    """Differentiable spectral gate with torch.stft conventions.
+
+    Drop-in functional equivalent of the reference ``TorchGate``
+    (torchgate/torchgate.py:32-46 for the constructor surface). Call with
+    ``x`` of shape (batch, signal_length) and optional noise ``xn`` of shape
+    (signal_length,) or (batch_n, signal_length).
+    """
+
+    sr: int
+    nonstationary: bool = False
+    n_std_thresh_stationary: float = 1.5
+    n_thresh_nonstationary: float = 1.3
+    temp_coeff_nonstationary: float = 0.1
+    n_movemean_nonstationary: int = 20
+    prop_decrease: float = 1.0
+    n_fft: int = 1024
+    win_length: Optional[int] = None
+    hop_length: Optional[int] = None
+    freq_mask_smooth_hz: Optional[float] = 500
+    time_mask_smooth_ms: Optional[float] = 50
+
+    def __post_init__(self):
+        if not (0.0 <= self.prop_decrease <= 1.0):
+            raise ValueError("prop_decrease must be in [0, 1]")
+        if self.win_length is None:
+            object.__setattr__(self, "win_length", self.n_fft)
+        if self.hop_length is None:
+            object.__setattr__(self, "hop_length", self.win_length // 4)
+        # validate smoothing geometry eagerly, like the reference constructor
+        self.smoothing
+
+    @property
+    def stft_config(self) -> StftConfig:
+        return StftConfig(
+            n_fft=self.n_fft,
+            win_length=self.win_length,
+            hop_length=self.hop_length,
+            convention=Convention.TORCH,
+            quantize_window_f32=True,  # torch.hann_window default-f32 parity
+        )
+
+    @property
+    def smoothing(self):
+        return smoothing_kernel_sizes(
+            self.sr,
+            self.n_fft,
+            self.hop_length,
+            self.freq_mask_smooth_hz,
+            self.time_mask_smooth_ms,
+        )
+
+    def __call__(
+        self,
+        x: jax.Array,
+        xn: Optional[jax.Array] = None,
+        method: str = "auto",
+    ) -> jax.Array:
+        """Denoise (batch, signal_length) -> same shape
+        (torchgate.py:200-264)."""
+        if x.ndim != 2:
+            raise ValueError("x must have shape (batch, signal_length)")
+        if x.shape[-1] < self.win_length * 2:
+            raise ValueError(f"x must be bigger than {self.win_length * 2}")
+        if xn is not None:
+            if xn.ndim not in (1, 2):
+                raise ValueError("xn must be 1-D or 2-D")
+            if xn.shape[-1] < self.win_length * 2:
+                raise ValueError(f"xn must be bigger than {self.win_length * 2}")
+
+        scfg = self.stft_config
+        X = stft(x, scfg, method=method)
+
+        # Reference dtype quirk: the stationary path's mask is a BOOL tensor
+        # and torch promotes ``bool * 1.0`` to float32 (torchgate.py:241), so
+        # the reference's blend + conv2d smoothing run in float32 even for
+        # f64 audio. We keep the blend/smooth in the compute dtype (values
+        # agree to torch's own f32-conv accumulation noise, ~2e-7 on the
+        # mask) — bit-matching oneDNN's f32 accumulation order is neither
+        # possible nor desirable on TPU.
+        if self.nonstationary:
+            mask = nonstationary_mask_torch(
+                jnp.abs(X),
+                self.n_movemean_nonstationary,
+                self.n_thresh_nonstationary,
+                self.temp_coeff_nonstationary,
+            )
+        else:
+            XN_db = None
+            if xn is not None:
+                xn2 = xn if xn.ndim == 2 else xn[None]
+                XN = stft(xn2, scfg, method=method)
+                XN_db = amp_to_db(XN, top_db=40.0).astype(x.dtype)
+            mask = stationary_mask_torch(
+                amp_to_db(X, top_db=40.0), XN_db, self.n_std_thresh_stationary
+            )
+
+        # prop_decrease blend BEFORE smoothing (torch-path order)
+        mask = self.prop_decrease * (mask - 1.0) + 1.0
+        smoothing = self.smoothing
+        if smoothing is not None:
+            mask = smooth_mask_2d_torchgate(mask, *smoothing)
+
+        Y = X * mask.astype(X.dtype)
+        # torch.istft without `length` returns (n_frames-1)*hop samples —
+        # shorter than the input; the reference returns that natural length
+        # (torchgate.py:255-264) and callers slice/zero-fill as needed.
+        y = istft(Y, scfg, method=method)
+        return y.astype(x.dtype)
+
+
+# register as a leafless pytree so the module can cross jit boundaries
+jax.tree_util.register_pytree_node(
+    TPUGate,
+    lambda g: ((), dataclasses.astuple(g)),
+    lambda aux, _: TPUGate(*aux),
+)

@@ -5,6 +5,7 @@ from noisereduce_tpu.ops.dsp import (
     temperature_sigmoid,
     triangular_vector,
     smooth_mask,
+    smooth_mask_2d_torchgate,
     ewma_filtfilt,
     moving_average_same,
 )

@@ -20,6 +20,7 @@ __all__ = [
     "temperature_sigmoid",
     "triangular_vector",
     "smooth_mask",
+    "smooth_mask_2d_torchgate",
     "ewma_filtfilt",
     "moving_average_same",
 ]
@@ -100,6 +101,62 @@ def _conv1d_same_last(x: jax.Array, kernel_np: np.ndarray, pad_left: int, pad_ri
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
     return out.reshape(batch_shape + (out.shape[-1],))
+
+
+@functools.lru_cache(maxsize=None)
+def _torchgate_smoothing_kernel_np(n_grad_freq: int, n_grad_time: int) -> np.ndarray:
+    """TorchGate's 2-D smoothing kernel with its float32 rounding.
+
+    The reference registers the filter as a buffer built from
+    ``torch.linspace``/``torch.outer`` in DEFAULT float32
+    (torchgate.py:113-124), then casts to the mask dtype (torchgate.py:246).
+    The f32 rounding makes the kernel no longer exactly rank-1, so parity
+    needs the true 2-D kernel. Values are taken from torch when importable,
+    else emulated in float32 numpy (≤1 ulp).
+    """
+    try:  # pragma: no cover - torch present in CI image
+        import torch
+
+        v_f = torch.cat(
+            [
+                torch.linspace(0, 1, n_grad_freq + 2)[:-1],
+                torch.linspace(1, 0, n_grad_freq + 2),
+            ]
+        )[1:-1]
+        v_t = torch.cat(
+            [
+                torch.linspace(0, 1, n_grad_time + 2)[:-1],
+                torch.linspace(1, 0, n_grad_time + 2),
+            ]
+        )[1:-1]
+        k = torch.outer(v_f, v_t)
+        return (k / k.sum()).to(torch.float64).numpy()
+    except Exception:
+        v_f = triangular_vector(n_grad_freq).astype(np.float32)
+        v_t = triangular_vector(n_grad_time).astype(np.float32)
+        k = np.outer(v_f, v_t).astype(np.float32)
+        return (k / k.sum(dtype=np.float32)).astype(np.float64)
+
+
+def smooth_mask_2d_torchgate(
+    mask: jax.Array, n_grad_freq: int, n_grad_time: int
+) -> jax.Array:
+    """TorchGate-parity smoothing: full 2-D 'same' conv with the f32-rounded
+    kernel (torchgate.py:241-249). Shape (..., freq, time)."""
+    kern_np = _torchgate_smoothing_kernel_np(n_grad_freq, n_grad_time)
+    kf, kt = kern_np.shape
+    batch_shape = mask.shape[:-2]
+    f, t = mask.shape[-2], mask.shape[-1]
+    xb = mask.reshape((-1, 1, f, t))
+    kern = jnp.asarray(kern_np, dtype=mask.dtype).reshape((1, 1, kf, kt))
+    out = jax.lax.conv_general_dilated(
+        xb,
+        kern,
+        window_strides=(1, 1),
+        padding=[(kf // 2, kf // 2), (kt // 2, kt // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(batch_shape + (f, t))
 
 
 def smooth_mask(

@@ -60,6 +60,27 @@ def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _hann_f32_np(n: int) -> np.ndarray:
+    """torch.hann_window(n)'s default-float32 values, as float64.
+
+    The reference TorchGate never passes a dtype to torch.hann_window
+    (torchgate.py:231,261), so even float64 audio is windowed with values
+    computed in float32 arithmetic. When torch is importable we take its
+    values verbatim (bit parity); otherwise emulate with float32 ops
+    (≤1 ulp of torch, ~6e-8 relative).
+    """
+    try:  # pragma: no cover - exercised when torch is installed
+        import torch
+
+        return torch.hann_window(n).to(torch.float64).numpy()
+    except Exception:
+        k = np.arange(n, dtype=np.float32)
+        two_pi = np.float32(2.0) * np.float32(np.pi)
+        w = np.float32(0.5) * (np.float32(1.0) - np.cos(two_pi * k / np.float32(n)))
+        return w.astype(np.float64)
+
+
+@functools.lru_cache(maxsize=None)
 def _analysis_window_np(cfg: StftConfig) -> np.ndarray:
     """Window applied to each extracted frame, in frame_length samples.
 
@@ -67,7 +88,10 @@ def _analysis_window_np(cfg: StftConfig) -> np.ndarray:
     torch: Hann(win) zero-padded centered into an n_fft-length frame
            (left pad = (n_fft - win) // 2), matching torch.stft.
     """
-    w = _hann_periodic_np(cfg.win_length)
+    if cfg.quantize_window_f32:
+        w = _hann_f32_np(cfg.win_length)
+    else:
+        w = _hann_periodic_np(cfg.win_length)
     if cfg.convention == Convention.SCIPY:
         return w
     left = (cfg.n_fft - cfg.win_length) // 2
@@ -234,11 +258,14 @@ def _ola_norm_np(cfg: StftConfig, n_frames: int) -> np.ndarray:
     frame_length = len(w)
     hop = cfg.hop_length
     full = frame_length + (n_frames - 1) * hop
-    norm = np.zeros(full, dtype=np.float64)
-    wsq = w * w
+    # torch.istft builds its envelope in the WINDOW's dtype — float32 by
+    # default (see _hann_f32_np) — so f32-parity mode accumulates in f32.
+    acc_dtype = np.float32 if cfg.quantize_window_f32 else np.float64
+    norm = np.zeros(full, dtype=acc_dtype)
+    wsq = (w * w).astype(acc_dtype)
     for j in range(n_frames):
         norm[j * hop : j * hop + frame_length] += wsq
-    return norm
+    return norm.astype(np.float64)
 
 
 def istft(

@@ -1,0 +1,130 @@
+"""Chunk + halo combinator — the TPU-native replacement for the reference's
+joblib/memmap runtime (spectralgate/base.py:130-226).
+
+The reference splits long recordings into ``chunk_size``-sample chunks, each
+extended by a ``padding``-sample halo read from the source signal (zero-fill
+past the signal edges, base.py:130-142), filters chunks in worker *processes*
+and assembles results in a shared np.memmap (base.py:167-226).
+
+Here the same geometry becomes pure array surgery:
+
+  signal (..., n)  →  halo'd chunk views (..., n_chunks, chunk+2·pad)
+                   →  vmap(filter)           [single chip]
+                   →  shard_map over a mesh  [multi chip, see parallel.mesh]
+                   →  trim halos, reshape, crop to n
+
+Chunks are *views by gather* of one zero-extended array, so halo content is
+identical to the reference's overlapping reads — no inter-chunk
+communication is needed (halo recompute, SURVEY.md §2).
+
+Everything is static-shaped: all signals pad up to n_chunks·chunk_size.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["n_chunks_for", "extract_chunks", "assemble_chunks", "process_chunked"]
+
+
+def n_chunks_for(n_samples: int, chunk_size: int) -> int:
+    """Number of chunks the reference would process (base.py:174-177):
+    ich2 = (n-1)//cs, chunks = ich2+1."""
+    return (n_samples - 1) // chunk_size + 1
+
+
+def extract_chunks(
+    y: jax.Array, chunk_size: int, padding: int
+) -> jax.Array:
+    """(..., n) -> (..., n_chunks, chunk_size + 2*padding) halo'd views.
+
+    Chunk i covers source samples [i*cs - padding, (i+1)*cs + padding),
+    zero-filled outside [0, n) — exactly base.py:144-148 + 130-142.
+    """
+    n = y.shape[-1]
+    n_chunks = n_chunks_for(n, chunk_size)
+    total = n_chunks * chunk_size
+    ypad = jnp.pad(
+        y, [(0, 0)] * (y.ndim - 1) + [(padding, total - n + padding)]
+    )
+    view = chunk_size + 2 * padding
+
+    def one(i):
+        return jax.lax.dynamic_slice_in_dim(ypad, i * chunk_size, view, axis=-1)
+
+    chunks = jax.vmap(one)(jnp.arange(n_chunks))  # (n_chunks, ..., view)
+    return jnp.moveaxis(chunks, 0, -2)
+
+
+def assemble_chunks(
+    filtered: jax.Array, chunk_size: int, padding: int, n_samples: int
+) -> jax.Array:
+    """(..., n_chunks, chunk+2·pad) -> (..., n_samples): trim halos,
+    concatenate, crop (base.py:150, 162-165, 217-220)."""
+    core = filtered[..., padding : padding + chunk_size]
+    out = core.reshape(core.shape[:-2] + (core.shape[-2] * chunk_size,))
+    return out[..., :n_samples]
+
+
+def process_chunked(
+    filter_fn: Callable[..., jax.Array],
+    y: jax.Array,
+    chunk_size: int,
+    padding: int,
+    mesh=None,
+    axis_name: str = "chunks",
+    extra: tuple = (),
+) -> jax.Array:
+    """Apply ``filter_fn`` ((..., L) -> (..., L)) chunk-parallel over (..., n).
+
+    Single-device path: the chunk axis becomes a batch axis (XLA batches all
+    chunks in one launch). With ``mesh`` (a ``jax.sharding.Mesh`` containing
+    ``axis_name``), the chunk axis is sharded over devices with
+    ``jax.shard_map`` — each device filters its chunks locally; halo overlap
+    means zero collectives (the TPU-native replacement for the reference's
+    joblib process pool, base.py:206-216).
+
+    ``extra``: additional (replicated) array operands passed to
+    ``filter_fn(chunks, *extra)`` — e.g. a stationary noise threshold.
+    Passed explicitly rather than closed over so shard_map can see them.
+    """
+    n = y.shape[-1]
+    if n <= chunk_size:
+        # Unchunked fast path — still halo-padded (base.py:222 → 144-150;
+        # SURVEY.md §5.6: even unchunked signals get ±padding zeros). Kept
+        # exact (length n + 2·padding) even when a mesh is given, because
+        # the non-stationary IIR is global over frames: reshaping to padded
+        # chunks would change the result vs the reference.
+        ypad = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(padding, padding)])
+        return filter_fn(ypad, *extra)[..., padding : padding + n]
+    chunks = extract_chunks(y, chunk_size, padding)
+    n_chunks = chunks.shape[-2]
+    if mesh is None:
+        filtered = filter_fn(chunks, *extra)  # batched over the chunk axis
+        return assemble_chunks(filtered, chunk_size, padding, n)
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    pad_chunks = (-n_chunks) % n_dev
+    if pad_chunks:
+        # all-zero filler chunks; trimmed before output assembly
+        chunks = jnp.pad(
+            chunks,
+            [(0, 0)] * (chunks.ndim - 2) + [(0, pad_chunks), (0, 0)],
+        )
+    spec = P(*([None] * (chunks.ndim - 2)), axis_name, None)
+    extra_specs = tuple(P() for _ in extra)
+    sharded = jax.shard_map(
+        filter_fn,
+        mesh=mesh,
+        in_specs=(spec,) + extra_specs,
+        out_specs=spec,
+        check_vma=False,
+    )(chunks, *extra)
+    if pad_chunks:
+        sharded = sharded[..., :n_chunks, :]
+    return assemble_chunks(sharded, chunk_size, padding, n)
