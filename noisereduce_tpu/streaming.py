@@ -1,0 +1,119 @@
+"""File-to-file streaming denoise: native IO runtime feeding the TPU graph.
+
+``reduce_noise_file`` processes arbitrarily long recordings at constant host
+memory: the C++ chunker (utils/io.py → native/nrio.cpp) yields halo'd
+fixed-shape float32 batches that hit one pre-compiled XLA graph, and results
+stream straight to the output WAV. Chunk geometry and gate math are identical
+to the in-memory path (reference semantics, spectralgate/base.py:130-226), so
+outputs match ``reduce_noise`` bit-for-bit in the same dtype.
+
+The reference has no file API — its user must load entire recordings into
+memory first. This module is the TPU-native upgrade of its chunked
+multiprocessing story.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noisereduce_tpu.config import Convention, GateConfig
+from noisereduce_tpu.models.spectral_gate import (
+    gate_nonstationary,
+    gate_stationary,
+    stationary_noise_threshold,
+)
+from noisereduce_tpu.utils import io as nrio
+
+__all__ = ["reduce_noise_file"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method"))
+def _chunk_nonstationary(chunk, cfg, method):
+    return gate_nonstationary(chunk, cfg, method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method"))
+def _chunk_stationary(chunk, thresh, cfg, method):
+    return gate_stationary(chunk, thresh, cfg, method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method"))
+def _noise_threshold(y_noise_mono, cfg, method):
+    return stationary_noise_threshold(y_noise_mono, cfg, method=method)
+
+
+def reduce_noise_file(
+    in_path: str,
+    out_path: str,
+    stationary: bool = False,
+    y_noise: Optional[np.ndarray] = None,
+    prop_decrease: float = 1.0,
+    time_constant_s: float = 2.0,
+    freq_mask_smooth_hz: Optional[float] = 500,
+    time_mask_smooth_ms: Optional[float] = 50,
+    thresh_n_mult_nonstationary: float = 2,
+    sigmoid_slope_nonstationary: float = 10,
+    n_std_thresh_stationary: float = 1.5,
+    chunk_size: int = 600000,
+    padding: int = 30000,
+    n_fft: int = 1024,
+    win_length: Optional[int] = None,
+    hop_length: Optional[int] = None,
+    clip_noise_stationary: bool = True,
+    method: str = "auto",
+    as_float: bool = False,
+) -> int:
+    """Denoise a WAV file into another WAV file, streaming chunk by chunk.
+
+    Returns the number of frames written. Output is PCM16 unless
+    ``as_float``. Stationary self-noise statistics come from the first
+    ``chunk_size`` samples of the mono mix when ``y_noise`` is None —
+    the same samples the in-memory reference path uses
+    (stationary.py:47-64 with clip_noise_stationary).
+    """
+    sr, _, n_frames_in = nrio.wav_info(in_path)
+    cfg = GateConfig(
+        sr=sr,
+        stationary=stationary,
+        prop_decrease=prop_decrease,
+        time_constant_s=time_constant_s,
+        freq_mask_smooth_hz=freq_mask_smooth_hz,
+        time_mask_smooth_ms=time_mask_smooth_ms,
+        thresh_n_mult_nonstationary=thresh_n_mult_nonstationary,
+        sigmoid_slope_nonstationary=sigmoid_slope_nonstationary,
+        n_std_thresh_stationary=n_std_thresh_stationary,
+        n_fft=n_fft,
+        win_length=win_length,
+        hop_length=hop_length,
+        convention=Convention.SCIPY,
+    )
+
+    thresh = None
+    if stationary:
+        if y_noise is not None:
+            yn = np.asarray(y_noise, dtype=np.float32)
+            yn = yn if yn.ndim == 1 else yn.mean(axis=0)
+            if clip_noise_stationary:
+                yn = yn[:chunk_size]
+        else:
+            _, head = nrio.read_wav(in_path, dtype="float32", frames=chunk_size)
+            yn = head.mean(axis=1) if head.ndim == 2 else head
+        thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
+
+    pieces = []
+    for _, chunk in nrio.stream_chunks(in_path, chunk_size, padding):
+        x = jnp.asarray(chunk)  # (channels, view) float32
+        if stationary:
+            out = _chunk_stationary(x, thresh, cfg, method)
+        else:
+            out = _chunk_nonstationary(x, cfg, method)
+        pieces.append(np.asarray(out[..., padding : padding + chunk_size]))
+
+    # trim the final zero-padded tail to the true signal length
+    y = np.concatenate(pieces, axis=-1)[..., :n_frames_in]  # (ch, n)
+    nrio.write_wav(out_path, y.T if y.shape[0] > 1 else y[0], sr, as_float=as_float)
+    return n_frames_in

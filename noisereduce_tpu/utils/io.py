@@ -1,0 +1,205 @@
+"""Native-accelerated audio IO and streaming chunk feed.
+
+Wraps the C++ runtime (native/nrio.cpp, built to _native/libnrio.so) via
+ctypes, with a pure-Python (scipy/numpy) fallback so the package works
+without the native build. The streaming chunker yields halo'd
+(channels, chunk + 2*padding) float32 batches — the exact array shape the
+jitted gate consumes — deinterleaved and zero-filled off the host thread,
+replacing the reference's joblib+memmap host runtime
+(reference spectralgate/base.py:167-226).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "native_available",
+    "wav_info",
+    "read_wav",
+    "write_wav",
+    "stream_chunks",
+]
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_native", "libnrio.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    c_i64, c_i32, c_f32p, c_i16p = (
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16),
+    )
+    lib.nrio_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(c_i64)]
+    lib.nrio_wav_info.restype = ctypes.c_int
+    lib.nrio_wav_read_f32.argtypes = [ctypes.c_char_p, c_f32p, c_i64, c_i64]
+    lib.nrio_wav_read_f32.restype = c_i64
+    lib.nrio_wav_read_i16.argtypes = [ctypes.c_char_p, c_i16p, c_i64, c_i64]
+    lib.nrio_wav_read_i16.restype = c_i64
+    lib.nrio_wav_write.argtypes = [ctypes.c_char_p, c_f32p, c_i64, c_i32, c_i32, c_i32]
+    lib.nrio_wav_write.restype = ctypes.c_int
+    lib.nrio_stream_open.argtypes = [ctypes.c_char_p, c_i64, c_i64]
+    lib.nrio_stream_open.restype = ctypes.c_void_p
+    lib.nrio_stream_n_chunks.argtypes = [ctypes.c_void_p]
+    lib.nrio_stream_n_chunks.restype = c_i64
+    lib.nrio_stream_channels.argtypes = [ctypes.c_void_p]
+    lib.nrio_stream_channels.restype = ctypes.c_int
+    lib.nrio_stream_frames.argtypes = [ctypes.c_void_p]
+    lib.nrio_stream_frames.restype = c_i64
+    lib.nrio_stream_rate.argtypes = [ctypes.c_void_p]
+    lib.nrio_stream_rate.restype = ctypes.c_int
+    lib.nrio_stream_next.argtypes = [ctypes.c_void_p, c_f32p]
+    lib.nrio_stream_next.restype = c_i64
+    lib.nrio_stream_close.argtypes = [ctypes.c_void_p]
+    lib.nrio_stream_close.restype = None
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def wav_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) without reading sample data."""
+    lib = _load()
+    if lib is None:
+        from scipy.io import wavfile
+
+        rate, data = wavfile.read(path, mmap=True)
+        ch = 1 if data.ndim == 1 else data.shape[1]
+        return rate, ch, data.shape[0]
+    info = (ctypes.c_int64 * 5)()
+    rc = lib.nrio_wav_info(path.encode(), info)
+    if rc != 0:
+        raise IOError(f"nrio: cannot parse {path!r} (rc={rc})")
+    return int(info[0]), int(info[1]), int(info[4])
+
+
+def read_wav(
+    path: str, dtype: str = "float32", start: int = 0, frames: int = -1
+) -> Tuple[int, np.ndarray]:
+    """Read a WAV file -> (sample_rate, (frames,) or (frames, channels)).
+
+    dtype='float32' scales integer formats to [-1, 1); dtype='int16' returns
+    raw PCM16 samples (scipy.io.wavfile-compatible shape/dtype).
+    """
+    lib = _load()
+    if lib is None:
+        from scipy.io import wavfile
+
+        rate, data = wavfile.read(path)
+        if frames >= 0 or start:
+            end = None if frames < 0 else start + frames
+            data = data[start:end]
+        if dtype == "float32" and data.dtype == np.int16:
+            data = (data / 32768.0).astype(np.float32)
+        elif dtype == "float32":
+            data = data.astype(np.float32)
+        return rate, data
+
+    info = (ctypes.c_int64 * 5)()
+    rc = lib.nrio_wav_info(path.encode(), info)
+    if rc != 0:
+        raise IOError(f"nrio: cannot parse {path!r} (rc={rc})")
+    rate, channels, _bits, _fmt, n_frames = (int(v) for v in info)
+    if frames < 0:
+        frames = n_frames - start
+    frames = max(0, min(frames, n_frames - start))
+
+    if dtype == "int16":
+        buf = np.empty(frames * channels, dtype=np.int16)
+        got = lib.nrio_wav_read_i16(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            start, frames,
+        )
+        if got < 0:
+            raise IOError(f"nrio: int16 read failed (rc={got})")
+    else:
+        buf = np.empty(frames * channels, dtype=np.float32)
+        got = lib.nrio_wav_read_f32(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            start, frames,
+        )
+        if got < 0:
+            raise IOError(f"nrio: read failed (rc={got})")
+    buf = buf[: int(got) * channels]
+    data = buf.reshape(-1, channels) if channels > 1 else buf
+    return rate, data
+
+
+def write_wav(path: str, data: np.ndarray, sr: int, as_float: bool = False) -> None:
+    """Write float waveform ((frames,) or (frames, channels)) as PCM16 or
+    IEEE-float WAV."""
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        frames, channels = len(data), 1
+    else:
+        frames, channels = data.shape
+    lib = _load()
+    if lib is None:
+        from scipy.io import wavfile
+
+        if as_float:
+            wavfile.write(path, sr, data)
+        else:
+            wavfile.write(path, sr, np.clip(data * 32767.0, -32768, 32767).astype(np.int16))
+        return
+    flat = np.ascontiguousarray(data).reshape(-1)
+    rc = lib.nrio_wav_write(
+        path.encode(), flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames, channels, sr, 1 if as_float else 0,
+    )
+    if rc != 0:
+        raise IOError(f"nrio: write failed (rc={rc})")
+
+
+def stream_chunks(
+    path: str, chunk_size: int, padding: int
+) -> Iterator[Tuple[int, np.ndarray]]:
+    """Yield (chunk_index, (channels, chunk_size + 2*padding) float32) halo'd
+    chunks from a WAV file, zero-filled past the signal edges — identical
+    geometry to the batch path (parallel/chunking.extract_chunks) and the
+    reference's per-chunk reads (base.py:130-148)."""
+    lib = _load()
+    view = chunk_size + 2 * padding
+    if lib is None:
+        rate, data = read_wav(path, dtype="float32")
+        del rate
+        y = data.T if data.ndim == 2 else data[None]
+        n = y.shape[-1]
+        n_chunks = (n - 1) // chunk_size + 1
+        ypad = np.pad(y, [(0, 0), (padding, n_chunks * chunk_size - n + padding)])
+        for i in range(n_chunks):
+            yield i, ypad[:, i * chunk_size : i * chunk_size + view].copy()
+        return
+
+    h = lib.nrio_stream_open(path.encode(), chunk_size, padding)
+    if not h:
+        raise IOError(f"nrio: cannot open {path!r}")
+    try:
+        channels = lib.nrio_stream_channels(h)
+        buf = np.empty((channels, view), dtype=np.float32)
+        while True:
+            idx = lib.nrio_stream_next(
+                h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if idx < 0:
+                break
+            yield int(idx), buf.copy()
+    finally:
+        lib.nrio_stream_close(h)
