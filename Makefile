@@ -1,0 +1,18 @@
+# noisereduce-tpu — developer entry points (reference ships a Makefile too)
+
+.PHONY: all native test bench clean lint
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +

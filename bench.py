@@ -18,7 +18,7 @@ import warnings
 import numpy as np
 
 SR = 48000
-DURATION_S = 240          # audio seconds per timed run on device
+DURATION_S = 960          # audio seconds per timed run on device
 CHUNK = 600000            # reference default chunk geometry
 PAD = 30000
 REF_DURATION_S = 20       # reference CPU measurement length (RTF ~ length-free)

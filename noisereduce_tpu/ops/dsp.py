@@ -184,14 +184,13 @@ def smooth_mask(
 # ---------------------------------------------------------------------------
 # Non-stationary noise floors
 # ---------------------------------------------------------------------------
-def _ewma_forward(x: jax.Array, b: float) -> jax.Array:
-    """First-order recurrence y[0]=x[0]; y[t] = b*x[t] + (1-b)*y[t-1] along
-    the last axis, as a log-depth associative scan.
+def _ewma_forward_scan(x: jax.Array, b: float) -> jax.Array:
+    """Reference implementation of the first-order recurrence
+    y[0]=x[0]; y[t] = b*x[t] + (1-b)*y[t-1] as a log-depth associative scan.
 
-    This is exactly ``scipy.signal.lfilter([b], [1, b-1], x, zi=zi*x[0])``
-    with zi = lfilter_zi = 1-b, i.e. the internal recurrence of the
-    reference's ``filtfilt(..., padtype=None)`` call
-    (nonstationary.py:106-115).
+    Kept as the numerical oracle for the matmul formulation below; the tuple
+    carries make it HBM-heavy (~4 array passes per log step), so the default
+    path is ``_ewma_forward``.
     """
     a = jnp.full_like(x, 1.0 - b)
     # Element 0 carries the initial condition: y[0] = x[0].
@@ -206,6 +205,77 @@ def _ewma_forward(x: jax.Array, b: float) -> jax.Array:
 
     _, y = jax.lax.associative_scan(combine, (a, bx), axis=-1)
     return y
+
+
+@functools.lru_cache(maxsize=None)
+def _ewma_block_consts_np(b: float, block: int):
+    """Trace-time constants for the blockwise linear-recurrence matmul:
+
+    L[i, j] = b * a^(i-j) for i >= j (lower-triangular in-block kernel),
+    decay[i] = a^(i+1)    (carry propagation into a block),
+    a_block  = a^block    (block-to-block carry factor),
+    with a = 1 - b.
+    """
+    a = 1.0 - b
+    i = np.arange(block, dtype=np.float64)
+    L = np.zeros((block, block), dtype=np.float64)
+    for d in range(block):  # diagonal d holds b * a^d
+        L += np.diag(np.full(block - d, b * (a**d)), -d)
+    decay = a ** (i + 1)
+    return L, decay, float(a**block)
+
+
+def _ewma_forward(x: jax.Array, b: float, block: int = 128) -> jax.Array:
+    """First-order IIR y[0]=x[0]; y[t] = b*x[t] + (1-b)*y[t-1] along the last
+    axis, as blockwise matmuls + a tiny block-carry scan (TPU MXU path).
+
+    Math: rescale x[0] -> x[0]/b so the recurrence is uniform
+    (y[t] = a·y[t-1] + b·x[t] from zero state), then
+      P   = X_blocks @ L^T            (in-block partial responses, parallel)
+      c_k = P_k[last] + a^B · c_{k-1} (carry scan over ~T/B blocks)
+      y   = P + decay ⊗ c_{k-1}       (carry injection)
+    Two passes over the data instead of the associative scan's
+    4·log2(T) passes. Exactly scipy's ``lfilter([b],[1,b-1],x,zi=(1-b)x[0])``
+    up to float summation order (reference nonstationary.py:106-115).
+    """
+    x = jnp.asarray(x)
+    T = x.shape[-1]
+    if T <= block:  # small inputs: the scan is cheaper than padding
+        return _ewma_forward_scan(x, b)
+    dtype = x.dtype
+    L_np, decay_np, a_block = _ewma_block_consts_np(b, block)
+
+    # uniform recurrence via first-element rescale
+    x = x.at[..., 0].divide(jnp.asarray(b, dtype))
+
+    n_blocks = -(-T // block)
+    pad = n_blocks * block - T
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = x.reshape(x.shape[:-1] + (n_blocks, block))
+
+    Lt = jnp.asarray(L_np.T, dtype)
+    acc = jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
+    P = jnp.matmul(xb, Lt, preferred_element_type=acc).astype(dtype)
+
+    # carry scan over blocks: c_k = P_k[-1] + a^B * c_{k-1}
+    last = P[..., -1]  # (..., n_blocks)
+    ab = jnp.asarray(a_block, dtype)
+
+    def combine(c1, c2):
+        a1, v1 = c1
+        a2, v2 = c2
+        return a1 * a2, a2 * v1 + v2
+
+    coeff = jnp.broadcast_to(ab, last.shape)
+    _, carries = jax.lax.associative_scan(combine, (coeff, last), axis=-1)
+    prev_carry = jnp.concatenate(
+        [jnp.zeros_like(carries[..., :1]), carries[..., :-1]], axis=-1
+    )
+
+    decay = jnp.asarray(decay_np, dtype)
+    y = P + prev_carry[..., None] * decay
+    return y.reshape(y.shape[:-2] + (n_blocks * block,))[..., :T]
 
 
 def ewma_filtfilt(x: jax.Array, b: float) -> jax.Array:

@@ -66,6 +66,7 @@ def reduce_noise_file(
     clip_noise_stationary: bool = True,
     method: str = "auto",
     as_float: bool = False,
+    use_tqdm: bool = False,
 ) -> int:
     """Denoise a WAV file into another WAV file, streaming chunk by chunk.
 
@@ -104,8 +105,17 @@ def reduce_noise_file(
             yn = head.mean(axis=1) if head.ndim == 2 else head
         thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
 
+    chunks_iter = nrio.stream_chunks(in_path, chunk_size, padding)
+    if use_tqdm:
+        # progress over chunks, mirroring the reference's opt-in tqdm
+        # (spectralgate/base.py:211)
+        from tqdm.auto import tqdm
+
+        n_chunks = (n_frames_in - 1) // chunk_size + 1
+        chunks_iter = tqdm(chunks_iter, total=n_chunks)
+
     pieces = []
-    for _, chunk in nrio.stream_chunks(in_path, chunk_size, padding):
+    for _, chunk in chunks_iter:
         x = jnp.asarray(chunk)  # (channels, view) float32
         if stationary:
             out = _chunk_stationary(x, thresh, cfg, method)
