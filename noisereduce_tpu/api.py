@@ -154,6 +154,15 @@ def reduce_noise(
         raise ValueError(
             "n_jobs must be 1 when using torch version of spectral gating."
         )
+    # Validate smoothing geometry eagerly, like the reference constructors
+    # (spectralgate/base.py:99-128) — same ValueErrors, before any compile.
+    from noisereduce_tpu.config import smoothing_kernel_sizes
+
+    _win = n_fft if win_length is None else win_length
+    _hop = _win // 4 if hop_length is None else hop_length
+    smoothing_kernel_sizes(
+        sr, n_fft, _hop, freq_mask_smooth_hz, time_mask_smooth_ms
+    )
 
     y = np.asarray(y)
     out_dtype = y.dtype

@@ -88,22 +88,45 @@ def gate_stationary(
 
 
 def gate_nonstationary(
-    chunk: jax.Array, cfg: GateConfig, method: str = "auto"
+    chunk: jax.Array,
+    cfg: GateConfig,
+    method: str = "auto",
+    use_pallas: object = "auto",
 ) -> jax.Array:
     """Non-stationary spectral gate over (..., samples)
-    (nonstationary.py:47-95)."""
+    (nonstationary.py:47-95).
+
+    ``use_pallas``: True / False / "auto". With True, the |Z| → IIR floor →
+    sigmoid stage runs as one fused Pallas kernel (ops/pallas_mask.py) — a
+    single HBM pass instead of ~6. "auto" currently keeps the XLA path
+    (already ~75% of the HBM-traffic bound after the blockwise-matmul IIR);
+    the kernel is validated in interpreter mode (tests/test_pallas_mask.py)
+    and stays opt-in until its Mosaic compile path is verified on hardware
+    (the backward stage compiles pathologically slowly via remote compile).
+    """
     n_samples = chunk.shape[-1]
     Z = stft(chunk, cfg.stft, method=method)
-    mag = jnp.abs(Z)
-    # time-smoothed noise floor: zero-phase first-order IIR per frequency row
-    # (nonstationary.py:106-115) as an associative scan
-    floor = ewma_filtfilt(mag, cfg.iir_b)
-    ratio = (mag - floor) / floor
-    mask = sigmoid(
-        ratio,
-        -cfg.thresh_n_mult_nonstationary,
-        cfg.sigmoid_slope_nonstationary,
-    )
+    pallas_ok = use_pallas is True
+    if pallas_ok:
+        from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask
+
+        mask = fused_nonstationary_mask(
+            Z,
+            cfg.iir_b,
+            cfg.thresh_n_mult_nonstationary,
+            cfg.sigmoid_slope_nonstationary,
+        )
+    else:
+        mag = jnp.abs(Z)
+        # time-smoothed noise floor: zero-phase first-order IIR per
+        # frequency row (nonstationary.py:106-115)
+        floor = ewma_filtfilt(mag, cfg.iir_b)
+        ratio = (mag - floor) / floor
+        mask = sigmoid(
+            ratio,
+            -cfg.thresh_n_mult_nonstationary,
+            cfg.sigmoid_slope_nonstationary,
+        )
     smoothing = cfg.smoothing
     if smoothing is not None:
         mask = smooth_mask(mask, *smoothing)

@@ -1,0 +1,189 @@
+"""Fused non-stationary mask as a Pallas TPU kernel.
+
+Computes, in ONE pass over the spectrogram (per (batch, freq-tile) grid
+cell, with the whole time axis resident in VMEM):
+
+    mag   = |Z|
+    floor = filtfilt-style forward+backward first-order IIR over time
+            (scipy semantics: y starts at the first/last sample — reference
+            nonstationary.py:106-115)
+    mask  = sigmoid(((mag - floor)/floor - thresh) * slope)
+            (reference nonstationary.py:70-76)
+
+The XLA composition of these ops makes ~6 HBM round-trips over the
+spectrogram; this kernel reads Re/Im once and writes the mask once. The IIR
+uses the same blockwise linear-recurrence-as-matmul formulation as
+ops/dsp.py `_ewma_forward` — (T_b × T_b) lower-triangular decay matrices on
+the MXU with scalar-free carry propagation, so the sequential dependency
+costs ~T/T_b small matmuls, not T vector ops.
+
+Inputs are float32 (TPU production dtype). The jnp path in
+models/spectral_gate.py remains the float64 / CPU / parity path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_nonstationary_mask"]
+
+_BT = 128       # time block (MXU contraction size)
+_FT = 128       # frequency tile (sublane-major rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _consts_np(b: float, block: int):
+    """L[i,j] = b*a^(i-j) (i>=j), decay_fwd[i] = a^(i+1),
+    decay_bwd[i] = a^(block-i), a_block = a^block."""
+    a = 1.0 - b
+    L = np.zeros((block, block), dtype=np.float64)
+    for d in range(block):
+        L += np.diag(np.full(block - d, b * (a**d)), -d)
+    i = np.arange(block, dtype=np.float64)
+    return (
+        L.astype(np.float32),
+        (a ** (i + 1)).astype(np.float32),
+        (a ** (block - i)).astype(np.float32),
+        np.float32(a**block),
+    )
+
+
+def _mask_kernel(
+    re_ref, im_ref, lt_ref, l_ref, dfwd_ref, dbwd_ref, mask_ref, mag_ref, y_ref,
+    *, n_tb: int, t_real: int, b: float, a_block: float,
+    thresh: float, slope: float,
+):
+    """One (1, F_TILE, T_PAD) tile: full fused mask computation in VMEM."""
+    f_tile = mag_ref.shape[0]
+    t_pad = mag_ref.shape[1]
+
+    re = re_ref[0]
+    im = im_ref[0]
+    mag = jnp.sqrt(re * re + im * im)
+    # zero out the padded time columns so they don't feed the IIR
+    col = jax.lax.broadcasted_iota(jnp.int32, (f_tile, t_pad), 1)
+    mag = jnp.where(col < t_real, mag, 0.0)
+    mag_ref[...] = mag
+
+    d_fwd = dfwd_ref[...]  # (F_TILE, BT), row-replicated decay vectors
+    d_bwd = dbwd_ref[...]
+
+    # Loops are lax.fori_loop with pl.ds slices (NOT Python-unrolled: 2×~21
+    # unrolled MXU iterations blow Mosaic compile time into minutes through
+    # the remote-compile path).
+
+    # ---- forward IIR: y[t] = b*mag[t] + (1-b)*y[t-1], y[0] = mag[0] ----
+    def fwd_body(kb, carry):
+        start = pl.multiple_of(kb * _BT, _BT)
+        xb = mag_ref[:, pl.ds(start, _BT)]
+        # uniform recurrence via first-element rescale x[0] /= b
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (f_tile, _BT), 1) + start
+        xb = jnp.where(cidx == 0, xb * jnp.float32(1.0 / b), xb)
+        p = jnp.dot(xb, lt_ref[...], preferred_element_type=jnp.float32)
+        yb = p + carry * d_fwd
+        y_ref[:, pl.ds(start, _BT)] = yb
+        return yb[:, _BT - 1 :]
+
+    carry0 = jnp.zeros((f_tile, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_tb, fwd_body, carry0)
+
+    # ---- backward IIR over y: w[t] = b*y[t] + (1-b)*w[t+1] --------------
+    # The true last sample's init (w[T-1] = y[T-1]) needs y'[T-1] = y[T-1]/b
+    # under the uniform recurrence; everything past T-1 must be zero.
+    def bwd_body(k, carry):
+        kb = n_tb - 1 - k
+        start = pl.multiple_of(kb * _BT, _BT)
+        yb = y_ref[:, pl.ds(start, _BT)]
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (f_tile, _BT), 1) + start
+        yb = jnp.where(cidx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
+        yb = jnp.where(cidx > t_real - 1, 0.0, yb)
+        p = jnp.dot(yb, l_ref[...], preferred_element_type=jnp.float32)
+        wb = p + carry * d_bwd
+        # final mask for this block: sigmoid((ratio - thresh) * slope)
+        mb = mag_ref[:, pl.ds(start, _BT)]
+        safe_w = jnp.where(wb == 0.0, 1.0, wb)
+        ratio = (mb - wb) / safe_w
+        mask = jax.nn.sigmoid((ratio - jnp.float32(thresh)) * jnp.float32(slope))
+        mask_ref[0, :, pl.ds(start, _BT)] = jnp.where(cidx < t_real, mask, 0.0)
+        return wb[:, :1]
+
+    jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
+
+
+def fused_nonstationary_mask(
+    Z: jax.Array,
+    b: float,
+    thresh_mult: float,
+    slope: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused |Z| → IIR floor → sigmoid mask, float32, shape-preserving.
+
+    Z: complex64, (..., F, T). Returns float32 mask of the same shape.
+    Matches sigmoid(((|Z|-floor)/floor) + (-thresh))*slope) with the jnp
+    path (ewma_filtfilt) to float32 accumulation order.
+    """
+    batch_shape = Z.shape[:-2]
+    F, T = Z.shape[-2], Z.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    f_pad = -(-F // _FT) * _FT
+    t_pad = -(-T // _BT) * _BT
+    n_tb = t_pad // _BT
+
+    re = jnp.real(Z).reshape(B, F, T).astype(jnp.float32)
+    im = jnp.imag(Z).reshape(B, F, T).astype(jnp.float32)
+    pad = [(0, 0), (0, f_pad - F), (0, t_pad - T)]
+    re = jnp.pad(re, pad)
+    im = jnp.pad(im, pad)
+
+    L, d_fwd, d_bwd, a_block = _consts_np(b, _BT)
+    lt = jnp.asarray(L.T)
+    l_ = jnp.asarray(L)
+
+    kernel = functools.partial(
+        _mask_kernel,
+        n_tb=n_tb,
+        t_real=T,
+        b=b,
+        a_block=float(a_block),
+        thresh=thresh_mult,
+        slope=slope,
+    )
+
+    tile_spec = pl.BlockSpec(
+        (1, _FT, t_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec = pl.BlockSpec(
+        (_BT, _BT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    # decay vectors row-replicated to a full (F_TILE, BT) tile: sub-(8,128)
+    # slices and (1, BT) operands hit unimplemented TPU lowerings
+    vec_spec = pl.BlockSpec(
+        (_FT, _BT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    mask = pl.pallas_call(
+        kernel,
+        grid=(B, f_pad // _FT),
+        in_specs=[tile_spec, tile_spec, mat_spec, mat_spec, vec_spec, vec_spec],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((B, f_pad, t_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_FT, t_pad), jnp.float32),  # mag
+            pltpu.VMEM((_FT, t_pad), jnp.float32),  # forward IIR result
+        ],
+        interpret=interpret,
+    )(
+        re,
+        im,
+        lt,
+        l_,
+        jnp.broadcast_to(jnp.asarray(d_fwd)[None, :], (_FT, _BT)),
+        jnp.broadcast_to(jnp.asarray(d_bwd)[None, :], (_FT, _BT)),
+    )
+    return mask[:, :F, :T].reshape(batch_shape + (F, T))

@@ -13,6 +13,20 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+
+# Build the native IO runtime if absent (it is a build artifact, not
+# committed); tests that need it skip gracefully if the build fails.
+_root = pathlib.Path(__file__).resolve().parent.parent
+if not (_root / "noisereduce_tpu" / "_native" / "libnrio.so").exists():
+    try:
+        subprocess.run(
+            ["make", "-C", str(_root / "native")], check=False, capture_output=True
+        )
+    except Exception:
+        pass
+
 import jax  # noqa: E402
 
 # The environment's sitecustomize may pre-register an accelerator platform

@@ -1,0 +1,66 @@
+"""Fused Pallas non-stationary mask kernel vs the jnp composition.
+
+Runs in Pallas interpreter mode on CPU (the driver/CI environment); the
+compiled-kernel path is exercised on real TPU by bench.py.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from noisereduce_tpu.config import iir_b_coefficient
+from noisereduce_tpu.ops import ewma_filtfilt, sigmoid
+from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask
+
+RNG = np.random.default_rng(11)
+
+
+def _jnp_mask(Z, b, thresh, slope):
+    mag = jnp.abs(Z)
+    floor = ewma_filtfilt(mag, b)
+    return sigmoid((mag - floor) / floor, -thresh, slope)
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 513, 300), (3, 513, 2579), (2, 2, 257, 130), (1, 129, 128)]
+)
+def test_kernel_matches_jnp(shape):
+    Z = (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)).astype(
+        np.complex64
+    )
+    b = iir_b_coefficient(2.0, 44100, 256)
+    got = np.asarray(
+        fused_nonstationary_mask(jnp.asarray(Z), b, 2.0, 10.0, interpret=True)
+    )
+    want = np.asarray(_jnp_mask(jnp.asarray(Z), b, 2.0, 10.0))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_kernel_handles_zero_rows():
+    """All-zero frequency rows: the jnp path yields NaN (0/0, as the
+    reference would); the kernel is defined to output ~0 there instead."""
+    Z = (RNG.standard_normal((1, 64, 200)) + 1j * RNG.standard_normal((1, 64, 200))).astype(np.complex64)
+    Z = np.asarray(Z)
+    Z[0, 10] = 0.0
+    b = iir_b_coefficient(2.0, 44100, 256)
+    got = np.asarray(
+        fused_nonstationary_mask(jnp.asarray(Z), b, 2.0, 10.0, interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    want = np.asarray(_jnp_mask(jnp.asarray(Z), b, 2.0, 10.0))
+    valid = ~np.isnan(want)
+    np.testing.assert_allclose(got[valid], want[valid], atol=2e-5)
+
+
+def test_gate_pallas_flag_cpu_interpretable():
+    """gate_nonstationary(use_pallas='auto') stays on the jnp path on CPU
+    (exact parity there is covered by the reference tests)."""
+    from noisereduce_tpu.config import GateConfig
+    from noisereduce_tpu.models.spectral_gate import gate_nonstationary
+
+    cfg = GateConfig(sr=8000, n_fft=256)
+    x = jnp.asarray(RNG.standard_normal(4000), dtype=jnp.float32)
+    auto = gate_nonstationary(x, cfg)
+    off = gate_nonstationary(x, cfg, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(off))
