@@ -1,0 +1,133 @@
+"""Per-config benchmarks for the BASELINE.json config list, on the current
+default device. Prints a markdown table (results recorded in BASELINE.md).
+
+Timing syncs on in-graph scalar checksums (see utils/profiling.py) and uses
+long workloads to amortize the remote-launch overhead of tunneled devices.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+# persistent compile cache: repeated bench runs skip the (slow, possibly
+# remote) compilation of unchanged graphs
+jax.config.update("jax_compilation_cache_dir", "/tmp/nr_tpu_jax_cache")
+import jax.numpy as jnp
+
+from noisereduce_tpu.config import GateConfig
+from noisereduce_tpu.models.spectral_gate import (
+    gate_nonstationary,
+    gate_stationary,
+    stationary_noise_threshold,
+)
+from noisereduce_tpu.models.tpu_gate import TPUGate
+from noisereduce_tpu.parallel.chunking import process_chunked
+
+SR = 48000
+DUR = 960
+CHUNK, PAD = 600000, 30000
+
+
+def timeit(fn, *args, iters=5):
+    f = jax.jit(lambda *a: jnp.sum(fn(*a)))
+    float(f(*args))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = []
+    n = SR * DUR
+
+    # 1. stationary with noise clip, mono
+    cfg_s = GateConfig(sr=SR, stationary=True)
+    y = jax.device_put(jnp.asarray(rng.standard_normal((1, n)), jnp.float32))
+    yn = jax.device_put(jnp.asarray(rng.standard_normal(SR * 2), jnp.float32))
+
+    def stat(y, yn):
+        th = stationary_noise_threshold(yn, cfg_s, method="matmul")
+        return process_chunked(
+            lambda c, t: gate_stationary(c, t, cfg_s, method="matmul"),
+            y, CHUNK, PAD, extra=(th,),
+        )
+
+    log("running: stationary...")
+    rows.append(("stationary + noise clip (mono)", DUR / timeit(stat, y, yn)))
+    log(rows[-1])
+
+    # 2. non-stationary (headline)
+    cfg_n = GateConfig(sr=SR, stationary=False)
+
+    def nonstat(y):
+        return process_chunked(
+            lambda c: gate_nonstationary(c, cfg_n, method="matmul"),
+            y, CHUNK, PAD,
+        )
+
+    log("running: non-stationary...")
+    rows.append(("non-stationary (mono)", DUR / timeit(nonstat, y)))
+    log(rows[-1])
+
+    # 3. multichannel (2 channels, half duration to keep memory flat)
+    y2 = jax.device_put(
+        jnp.asarray(rng.standard_normal((2, n // 2)), jnp.float32)
+    )
+    log("running: stereo...")
+    rows.append(("non-stationary (stereo)", DUR / timeit(nonstat, y2)))
+    log(rows[-1])
+
+    # 4. chunked == configs 1/2 (chunking always on); torch-convention gate
+    gate = TPUGate(sr=SR, nonstationary=True)
+
+    def torch_chunk(c):
+        out = gate(c, method="matmul")
+        return jnp.pad(out, [(0, 0), (0, c.shape[-1] - out.shape[-1])])
+
+    def torch_conv(y):
+        def call(chunk):
+            if chunk.ndim == 3:
+                return jax.vmap(torch_chunk, in_axes=-2, out_axes=-2)(chunk)
+            return torch_chunk(chunk)
+
+        return process_chunked(call, y, CHUNK, PAD)
+
+    log("running: torch-convention...")
+    rows.append(("torch-convention non-stationary", DUR / timeit(torch_conv, y)))
+    log(rows[-1])
+
+    # 5. TPUGate training step (notebook-3.0): fwd+bwd through the gate
+    g2 = TPUGate(sr=16000, nonstationary=True)
+    xb = jax.device_put(
+        jnp.asarray(rng.standard_normal((16, 16000 * 4)), jnp.float32)
+    )
+
+    def train_step(x):
+        loss, grads = jax.value_and_grad(lambda xx: jnp.mean(g2(xx) ** 2))(x)
+        return loss + jnp.sum(grads)
+
+    audio_s = 16 * 4
+    log("running: training step...")
+    rows.append(("TPUGate fwd+bwd (batch 16 x 4s)", audio_s / timeit(train_step, xb)))
+    log(rows[-1])
+
+    print("| config | RTF (audio-sec/sec/chip) |")
+    print("|---|---|")
+    for name, rtf in rows:
+        print(f"| {name} | {rtf:,.0f} |")
+
+
+if __name__ == "__main__":
+    main()

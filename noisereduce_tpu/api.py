@@ -43,37 +43,41 @@ __all__ = ["reduce_noise"]
 # ---------------------------------------------------------------------------
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name"),
+    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
 )
 def _run_stationary(
-    y2d, y_noise_mono, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks"
+    y2d, y_noise_mono, cfg, chunk_size, padding, method, mesh=None,
+    axis_name="chunks", mpc=0,
 ):
     thresh = stationary_noise_threshold(y_noise_mono, cfg, method=method)
     fn = lambda c, t: gate_stationary(c, t, cfg, method=method)
     return process_chunked(
-        fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name, extra=(thresh,)
+        fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
+        extra=(thresh,), max_parallel_chunks=mpc,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name"),
+    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
 )
 def _run_nonstationary(
-    y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks"
+    y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks", mpc=0
 ):
     fn = lambda c: gate_nonstationary(c, cfg, method=method)
     return process_chunked(
-        fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name
+        fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
+        max_parallel_chunks=mpc,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gate", "chunk_size", "padding", "method", "mesh", "axis_name"),
+    static_argnames=("gate", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
 )
 def _run_torch_gate(
-    y2d, y_noise, gate, chunk_size, padding, method, mesh=None, axis_name="chunks"
+    y2d, y_noise, gate, chunk_size, padding, method, mesh=None,
+    axis_name="chunks", mpc=0,
 ):
     def one(chunk, xn):
         # TPUGate returns torch's natural (shorter) istft length; the
@@ -95,7 +99,8 @@ def _run_torch_gate(
 
     extra = () if y_noise is None else (y_noise,)
     return process_chunked(
-        call, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name, extra=extra
+        call, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
+        extra=extra, max_parallel_chunks=mpc,
     )
 
 
@@ -141,11 +146,50 @@ def reduce_noise(
     compute_dtype=None,
     method="auto",
     mesh=None,
+    max_parallel_chunks=0,
 ):
     """Reduce noise via spectral gating (reference noisereduce.py:13-185).
 
-    Parameters mirror the reference exactly; see module docstring for the
-    compatibility/no-op notes and the TPU-native extras.
+    Parameters
+    ----------
+    y : np.ndarray [(frames,) or (channels, frames)], real-valued
+        input signal
+    sr : int
+        sample rate of the input / noise signal
+    stationary : bool
+        stationary (fixed per-frequency threshold from noise statistics) vs
+        non-stationary (time-varying threshold from an IIR-smoothed floor)
+        noise reduction; default False
+    y_noise : np.ndarray, optional
+        noise clip for stationary statistics; defaults to the signal itself
+    prop_decrease : float
+        proportion to reduce the noise by (1.0 = 100%)
+    time_constant_s : float
+        time constant of the non-stationary noise-floor IIR, seconds
+    freq_mask_smooth_hz / time_mask_smooth_ms : float or None
+        triangular mask-smoothing widths (None disables that axis)
+    thresh_n_mult_nonstationary, sigmoid_slope_nonstationary : float
+        non-stationary threshold multiple and sigmoid slope
+    n_std_thresh_stationary : float
+        stationary threshold = mean + this many std of the noise dB spectrum
+    chunk_size, padding : int
+        long recordings process as halo'd chunks of this geometry
+    n_fft, win_length, hop_length : int
+        STFT geometry (win defaults to n_fft; hop to win // 4)
+    clip_noise_stationary : bool
+        clip the noise clip to chunk_size samples
+    use_torch : bool
+        use the torch-convention gate (TPUGate) — no torch dependency
+    device : str or jax.Device, optional
+        JAX device/platform to run on
+    tmp_folder, use_tqdm, n_jobs :
+        accepted for reference compatibility; chunk fan-out is an XLA
+        array axis here, not a process pool
+    compute_dtype, method, mesh, max_parallel_chunks :
+        TPU-native extras — on-device precision; 'fft' vs 'matmul' (MXU)
+        DFT; a jax.sharding.Mesh to shard the chunk axis over devices; and
+        a bound on simultaneously-resident chunks (0 = all at once, set to
+        bound HBM on hours-long recordings).
 
     Returns a NumPy array with the input's shape and dtype.
     """
@@ -199,6 +243,7 @@ def reduce_noise(
             cdtype,
             mesh,
             axis_name,
+            max_parallel_chunks,
         )
     elif stationary:
         cfg = GateConfig(
@@ -226,7 +271,8 @@ def reduce_noise(
         if clip_noise_stationary:
             yn_mono = yn_mono[:chunk_size]
         out = _run_stationary(
-            y2d, yn_mono, cfg, chunk_size, padding, method, mesh, axis_name
+            y2d, yn_mono, cfg, chunk_size, padding, method, mesh, axis_name,
+            max_parallel_chunks,
         )
     else:
         cfg = GateConfig(
@@ -244,7 +290,8 @@ def reduce_noise(
             convention=Convention.SCIPY,
         )
         out = _run_nonstationary(
-            y2d, cfg, chunk_size, padding, method, mesh, axis_name
+            y2d, cfg, chunk_size, padding, method, mesh, axis_name,
+            max_parallel_chunks,
         )
 
     out = np.asarray(out).astype(out_dtype)
@@ -273,6 +320,7 @@ def _reduce_noise_torch_path(
     cdtype,
     mesh=None,
     axis_name="chunks",
+    max_parallel_chunks=0,
 ):
     """StreamedTorchGate-equivalent dispatch (streamed_torch_gate.py:12-87):
     parameter mapping temp_coeff = 1/slope, n_movemean = time_constant·sr/hop;
@@ -302,5 +350,6 @@ def _reduce_noise_torch_path(
             yn = yn[None, :]
         yn = jnp.asarray(yn, dtype=cdtype)
     return _run_torch_gate(
-        y2d, yn, gate, chunk_size, padding, method, mesh, axis_name
+        y2d, yn, gate, chunk_size, padding, method, mesh, axis_name,
+        max_parallel_chunks,
     )

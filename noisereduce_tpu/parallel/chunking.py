@@ -77,6 +77,7 @@ def process_chunked(
     mesh=None,
     axis_name: str = "chunks",
     extra: tuple = (),
+    max_parallel_chunks: int = 0,
 ) -> jax.Array:
     """Apply ``filter_fn`` ((..., L) -> (..., L)) chunk-parallel over (..., n).
 
@@ -90,6 +91,13 @@ def process_chunked(
     ``extra``: additional (replicated) array operands passed to
     ``filter_fn(chunks, *extra)`` — e.g. a stationary noise threshold.
     Passed explicitly rather than closed over so shard_map can see them.
+
+    ``max_parallel_chunks``: 0/None processes every chunk in one batched
+    launch (fastest; HBM ∝ total audio). A positive value bounds device
+    memory for very long recordings by scanning over groups of that many
+    chunks (``lax.map``) — HBM ∝ group size, one compiled body. Results
+    match the batched path up to float rounding (XLA fuses the two
+    programs differently; exact in float64).
     """
     n = y.shape[-1]
     if n <= chunk_size:
@@ -103,7 +111,27 @@ def process_chunked(
     chunks = extract_chunks(y, chunk_size, padding)
     n_chunks = chunks.shape[-2]
     if mesh is None:
-        filtered = filter_fn(chunks, *extra)  # batched over the chunk axis
+        if max_parallel_chunks and n_chunks > max_parallel_chunks:
+            g = max_parallel_chunks
+            n_groups = -(-n_chunks // g)
+            pad_k = n_groups * g - n_chunks
+            if pad_k:
+                chunks = jnp.pad(
+                    chunks,
+                    [(0, 0)] * (chunks.ndim - 2) + [(0, pad_k), (0, 0)],
+                )
+            # (..., n_groups, g, view) scanned over the group axis
+            grouped = chunks.reshape(
+                chunks.shape[:-2] + (n_groups, g, chunks.shape[-1])
+            )
+            grouped = jnp.moveaxis(grouped, -3, 0)  # (n_groups, ..., g, view)
+            filtered = jax.lax.map(lambda c: filter_fn(c, *extra), grouped)
+            filtered = jnp.moveaxis(filtered, 0, -3)
+            filtered = filtered.reshape(
+                filtered.shape[:-3] + (n_groups * g, filtered.shape[-1])
+            )[..., :n_chunks, :]
+        else:
+            filtered = filter_fn(chunks, *extra)  # one batched launch
         return assemble_chunks(filtered, chunk_size, padding, n)
 
     from jax.sharding import PartitionSpec as P
