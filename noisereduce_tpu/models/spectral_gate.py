@@ -42,8 +42,9 @@ def _apply_mask_and_invert(
 
     The reference writes the (shorter) ISTFT output into a zeros buffer of
     the chunk's shape (stationary.py:85,126; nonstationary.py:49,95).
+    Operates in time-major layout (..., frames, bins) end-to-end.
     """
-    y = istft(Z * mask.astype(Z.dtype), cfg.stft, method=method)
+    y = istft(Z * mask.astype(Z.dtype), cfg.stft, method=method, time_major=True)
     out_len = y.shape[-1]
     if out_len < n_samples:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_samples - out_len)])
@@ -60,11 +61,11 @@ def stationary_noise_threshold(
     mean + std * n_std_thresh over time of the noise dB spectrogram
     (stationary.py:67-81; np.std ddof=0).
     """
-    Zn = stft(y_noise, cfg.stft, method=method)
-    Zn_db = amp_to_db(Zn, top_db=80.0)
-    mean = jnp.mean(Zn_db, axis=-1)
-    std = jnp.std(Zn_db, axis=-1)  # ddof=0, matching np.std
-    return mean + std * cfg.n_std_thresh_stationary
+    Zn = stft(y_noise, cfg.stft, method=method, time_major=True)
+    Zn_db = amp_to_db(Zn, top_db=80.0, axis=-2)  # time axis
+    mean = jnp.mean(Zn_db, axis=-2)
+    std = jnp.std(Zn_db, axis=-2)  # ddof=0, matching np.std
+    return mean + std * cfg.n_std_thresh_stationary  # (..., n_bins)
 
 
 def gate_stationary(
@@ -73,17 +74,21 @@ def gate_stationary(
     cfg: GateConfig,
     method: str = "auto",
 ) -> jax.Array:
-    """Stationary spectral gate over (..., samples) (stationary.py:83-126)."""
+    """Stationary spectral gate over (..., samples) (stationary.py:83-126).
+
+    Runs time-major: (..., frames, bins), the DFT's native layout — the
+    per-frequency threshold broadcasts directly over frames.
+    """
     n_samples = chunk.shape[-1]
-    Z = stft(chunk, cfg.stft, method=method)
-    Z_db = amp_to_db(Z, top_db=80.0)
+    Z = stft(chunk, cfg.stft, method=method, time_major=True)
+    Z_db = amp_to_db(Z, top_db=80.0, axis=-2)
     # mask where the signal rises above the per-frequency noise threshold
-    mask = (Z_db > noise_thresh[..., :, None]).astype(Z_db.dtype)
+    mask = (Z_db > noise_thresh).astype(Z_db.dtype)
     # prop_decrease blend FIRST (stationary-path order)
     mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
     smoothing = cfg.smoothing
     if smoothing is not None:
-        mask = smooth_mask(mask, *smoothing)
+        mask = smooth_mask(mask, *smoothing, time_major=True)
     return _apply_mask_and_invert(Z, mask, cfg, n_samples, method)
 
 
@@ -105,22 +110,27 @@ def gate_nonstationary(
     (the backward stage compiles pathologically slowly via remote compile).
     """
     n_samples = chunk.shape[-1]
-    Z = stft(chunk, cfg.stft, method=method)
+    Z = stft(chunk, cfg.stft, method=method, time_major=True)
     pallas_ok = use_pallas is True
     if pallas_ok:
         from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask
 
-        mask = fused_nonstationary_mask(
-            Z,
-            cfg.iir_b,
-            cfg.thresh_n_mult_nonstationary,
-            cfg.sigmoid_slope_nonstationary,
+        # the fused kernel works freq-major; convert at its boundary
+        mask = jnp.swapaxes(
+            fused_nonstationary_mask(
+                jnp.swapaxes(Z, -1, -2),
+                cfg.iir_b,
+                cfg.thresh_n_mult_nonstationary,
+                cfg.sigmoid_slope_nonstationary,
+            ),
+            -1,
+            -2,
         )
     else:
         mag = jnp.abs(Z)
         # time-smoothed noise floor: zero-phase first-order IIR per
-        # frequency row (nonstationary.py:106-115)
-        floor = ewma_filtfilt(mag, cfg.iir_b)
+        # frequency, along the frame axis (nonstationary.py:106-115)
+        floor = ewma_filtfilt(mag, cfg.iir_b, axis=-2)
         ratio = (mag - floor) / floor
         mask = sigmoid(
             ratio,
@@ -129,7 +139,7 @@ def gate_nonstationary(
         )
     smoothing = cfg.smoothing
     if smoothing is not None:
-        mask = smooth_mask(mask, *smoothing)
+        mask = smooth_mask(mask, *smoothing, time_major=True)
     # prop_decrease blend AFTER smoothing (non-stationary-path order)
     mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
     return _apply_mask_and_invert(Z, mask, cfg, n_samples, method)

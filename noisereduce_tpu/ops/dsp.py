@@ -31,16 +31,19 @@ __all__ = [
 _EPS_F64 = float(np.finfo(np.float64).eps)
 
 
-def amp_to_db(x: jax.Array, top_db: float = 80.0, eps: float = _EPS_F64) -> jax.Array:
+def amp_to_db(
+    x: jax.Array, top_db: float = 80.0, eps: float = _EPS_F64, axis: int = -1
+) -> jax.Array:
     """Amplitude -> dB with a per-row dynamic-range floor.
 
-    ``20*log10(|x| + eps)`` floored at (max over the last axis) - top_db.
-    NumPy engine uses top_db=80 (spectralgate/utils.py:11-16); TorchGate uses
-    top_db=40 (torchgate/utils.py:6-23).
+    ``20*log10(|x| + eps)`` floored at (max over ``axis``) - top_db. The
+    reference reduces over time — the last axis of its freq-major layout
+    (spectralgate/utils.py:11-16, top_db=80; torchgate/utils.py:6-23,
+    top_db=40); time-major callers pass axis=-2.
     """
     mag = jnp.abs(x)
     x_db = 20.0 * jnp.log10(mag + jnp.asarray(eps, dtype=mag.dtype))
-    floor = jnp.max(x_db, axis=-1, keepdims=True) - top_db
+    floor = jnp.max(x_db, axis=axis, keepdims=True) - top_db
     return jnp.maximum(x_db, floor)
 
 
@@ -160,9 +163,13 @@ def smooth_mask_2d_torchgate(
 
 
 def smooth_mask(
-    mask: jax.Array, n_grad_freq: int, n_grad_time: int
+    mask: jax.Array,
+    n_grad_freq: int,
+    n_grad_time: int,
+    time_major: bool = False,
 ) -> jax.Array:
-    """Smooth a (..., freq, time) mask with the normalized triangular filter.
+    """Smooth a (..., freq, time) mask — or (..., time, freq) with
+    ``time_major=True`` — with the normalized triangular filter.
 
     Matches ``fftconvolve(mask, outer(v_f, v_t)/sum, mode='same')``
     (stationary.py:110-114, nonstationary.py:78-81) and TorchGate's
@@ -171,14 +178,34 @@ def smooth_mask(
     cross-correlation equals convolution.
     """
     v_f, v_t = _smoothing_vectors_np(n_grad_freq, n_grad_time)
-    out = mask
-    if len(v_f) > 1:
-        out = jnp.swapaxes(out, -1, -2)
-        out = _conv1d_same_last(out, v_f, n_grad_freq, n_grad_freq)
-        out = jnp.swapaxes(out, -1, -2)
-    if len(v_t) > 1:
-        out = _conv1d_same_last(out, v_t, n_grad_time, n_grad_time)
-    return out
+    batch_shape = mask.shape[:-2]
+    h, w = mask.shape[-2], mask.shape[-1]
+    xb = mask.reshape((-1, 1, h, w))
+    if time_major:
+        pads = [(n_grad_time, n_grad_time), (n_grad_freq, n_grad_freq)]
+        vr, vc = v_t, v_f
+    else:
+        pads = [(n_grad_freq, n_grad_freq), (n_grad_time, n_grad_time)]
+        vr, vc = v_f, v_t
+    # separable: two 1-D convs (rank-1 kernel), each along one spatial dim
+    out = xb
+    if len(vr) > 1:
+        out = jax.lax.conv_general_dilated(
+            out,
+            jnp.asarray(vr, mask.dtype).reshape(1, 1, -1, 1),
+            (1, 1),
+            [pads[0], (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+    if len(vc) > 1:
+        out = jax.lax.conv_general_dilated(
+            out,
+            jnp.asarray(vc, mask.dtype).reshape(1, 1, 1, -1),
+            (1, 1),
+            [(0, 0), pads[1]],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+    return out.reshape(batch_shape + (h, w))
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +250,48 @@ def _ewma_block_consts_np(b: float, block: int):
         L += np.diag(np.full(block - d, b * (a**d)), -d)
     decay = a ** (i + 1)
     return L, decay, float(a**block)
+
+
+def _ewma_forward_tm(x: jax.Array, b: float, block: int = 128) -> jax.Array:
+    """Time-major twin of ``_ewma_forward``: the recurrence runs along axis
+    -2 of (..., T, F) via L @ x_block matmuls — no transposes."""
+    x = jnp.asarray(x)
+    T = x.shape[-2]
+    if T <= block:
+        y = _ewma_forward_scan(jnp.swapaxes(x, -1, -2), b)
+        return jnp.swapaxes(y, -1, -2)
+    dtype = x.dtype
+    L_np, decay_np, a_block = _ewma_block_consts_np(b, block)
+
+    x = x.at[..., 0, :].divide(jnp.asarray(b, dtype))
+    n_blocks = -(-T // block)
+    pad = n_blocks * block - T
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)])
+    F = x.shape[-1]
+    xb = x.reshape(x.shape[:-2] + (n_blocks, block, F))
+
+    L = jnp.asarray(L_np, dtype)
+    acc = jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
+    P = jnp.matmul(L, xb, preferred_element_type=acc).astype(dtype)
+
+    last = P[..., -1, :]  # (..., n_blocks, F)
+    ab = jnp.asarray(a_block, dtype)
+
+    def combine(c1, c2):
+        a1, v1 = c1
+        a2, v2 = c2
+        return a1 * a2, a2 * v1 + v2
+
+    coeff = jnp.broadcast_to(ab, last.shape)
+    _, carries = jax.lax.associative_scan(combine, (coeff, last), axis=-2)
+    prev_carry = jnp.concatenate(
+        [jnp.zeros_like(carries[..., :1, :]), carries[..., :-1, :]], axis=-2
+    )
+
+    decay = jnp.asarray(decay_np, dtype)[:, None]
+    y = P + prev_carry[..., None, :] * decay
+    return y.reshape(y.shape[:-3] + (n_blocks * block, F))[..., :T, :]
 
 
 def _ewma_forward(x: jax.Array, b: float, block: int = 128) -> jax.Array:
@@ -278,13 +347,20 @@ def _ewma_forward(x: jax.Array, b: float, block: int = 128) -> jax.Array:
     return y.reshape(y.shape[:-2] + (n_blocks * block,))[..., :T]
 
 
-def ewma_filtfilt(x: jax.Array, b: float) -> jax.Array:
-    """Zero-phase forward-backward first-order low-pass along the last axis.
+def ewma_filtfilt(x: jax.Array, b: float, axis: int = -1) -> jax.Array:
+    """Zero-phase forward-backward first-order low-pass along ``axis``
+    (-1 or -2).
 
-    Equals ``scipy.signal.filtfilt([b], [1, b-1], x, axis=-1, padtype=None)``
+    Equals ``scipy.signal.filtfilt([b], [1, b-1], x, axis=..., padtype=None)``
     (nonstationary.py:115) including the lfilter_zi initial conditions
-    (y starts at the first sample in each direction).
+    (y starts at the first sample in each direction). axis=-2 runs natively
+    in time-major layout (no transposes).
     """
+    if axis == -2:
+        fwd = _ewma_forward_tm(x, b)
+        bwd = _ewma_forward_tm(jnp.flip(fwd, axis=-2), b)
+        return jnp.flip(bwd, axis=-2)
+    assert axis == -1
     fwd = _ewma_forward(x, b)
     bwd = _ewma_forward(jnp.flip(fwd, axis=-1), b)
     return jnp.flip(bwd, axis=-1)

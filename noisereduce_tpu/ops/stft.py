@@ -209,17 +209,23 @@ def _resolve_method(method: str) -> str:
 # ---------------------------------------------------------------------------
 # Public STFT / ISTFT
 # ---------------------------------------------------------------------------
-def stft(x: jax.Array, cfg: StftConfig, method: str = "auto") -> jax.Array:
+def stft(
+    x: jax.Array, cfg: StftConfig, method: str = "auto", time_major: bool = False
+) -> jax.Array:
     """Short-time Fourier transform.
 
     Args:
       x: real signal, shape (..., n_samples).
       cfg: static geometry + convention.
       method: 'fft' (XLA FFT), 'matmul' (MXU real-DFT), or 'auto'.
+      time_major: return (..., n_frames, n_bins) instead of the reference
+        (..., n_bins, n_frames). The DFT produces time-major natively, so
+        this skips a materialized transpose of the complex spectrogram —
+        internal pipelines use it end-to-end (istft accepts it back).
 
     Returns:
-      Complex spectrogram, shape (..., n_bins, n_frames) — frequency on the
-      second-to-last axis, matching both reference backends.
+      Complex spectrogram: (..., n_bins, n_frames), or time-major when
+      requested.
     """
     method = _resolve_method(method)
     n_samples = x.shape[-1]
@@ -245,8 +251,10 @@ def stft(x: jax.Array, cfg: StftConfig, method: str = "auto") -> jax.Array:
         Z = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
 
     if cfg.convention == Convention.SCIPY:
-        scale = 1.0 / float(_hann_periodic_np(cfg.win_length).sum())
+        scale = 1.0 / float(_analysis_window_np(cfg).sum())
         Z = Z * jnp.asarray(scale, dtype=Z.real.dtype)
+    if time_major:
+        return Z  # (..., n_frames, n_bins) — the DFT's native layout
     return jnp.swapaxes(Z, -1, -2)  # (..., n_bins, n_frames)
 
 
@@ -273,11 +281,13 @@ def istft(
     cfg: StftConfig,
     method: str = "auto",
     length: Optional[int] = None,
+    time_major: bool = False,
 ) -> jax.Array:
     """Inverse STFT matching the configured reference convention.
 
     Args:
-      Z: complex spectrogram (..., n_bins, n_frames).
+      Z: complex spectrogram (..., n_bins, n_frames), or
+        (..., n_frames, n_bins) with ``time_major=True``.
       length: torch convention only — output length override (torch's
         ``length`` argument); defaults to (n_frames-1)*hop.
 
@@ -286,13 +296,13 @@ def istft(
       (or ``length`` if given under the torch convention).
     """
     method = _resolve_method(method)
-    n_frames = Z.shape[-1]
     hop = cfg.hop_length
     frame_length = cfg.frame_length
     w_np = _analysis_window_np(cfg)
     rdtype = Z.real.dtype
 
-    Zt = jnp.swapaxes(Z, -1, -2)  # (..., n_frames, n_bins)
+    Zt = Z if time_major else jnp.swapaxes(Z, -1, -2)  # (..., n_frames, n_bins)
+    n_frames = Zt.shape[-2]
     if method == "matmul":
         ci, si = _irdft_matrices_np(cfg.n_fft, frame_length)
         ci = jnp.asarray(ci, dtype=rdtype)

@@ -1,0 +1,83 @@
+"""Side utilities: noise generator, dtype converters, plotting, profiling."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import matplotlib
+
+matplotlib.use("Agg")
+
+import noisereduce_tpu as nr
+from noisereduce_tpu.utils.plotting import (
+    plot_spectrogram,
+    plot_statistics_and_filter,
+    plot_reduction_steps,
+)
+from noisereduce_tpu.utils.profiling import measure_rtf
+
+
+def test_band_limited_noise_spectrum():
+    sr, n = 16000, 16384
+    np.random.seed(1)
+    y = nr.band_limited_noise(2000, 6000, samples=n, samplerate=sr)
+    assert y.shape == (n,)
+    spec = np.abs(np.fft.rfft(y))
+    freqs = np.fft.rfftfreq(n, 1 / sr)
+    in_band = spec[(freqs >= 2100) & (freqs <= 5900)]
+    out_band = spec[(freqs < 1900) | (freqs > 6100)]
+    assert in_band.mean() > 100 * max(out_band.mean(), 1e-12)
+
+
+def test_band_limited_noise_jax_matches_band():
+    sr, n = 16000, 8192
+    y = np.asarray(nr.band_limited_noise_jax(jax.random.key(0), 1000, 3000, n, sr))
+    assert y.shape == (n,)
+    assert np.all(np.isfinite(y))
+    spec = np.abs(np.fft.rfft(y))
+    freqs = np.fft.rfftfreq(n, 1 / sr)
+    in_band = spec[(freqs >= 1100) & (freqs <= 2900)]
+    out_band = spec[(freqs < 900) | (freqs > 3100)]
+    assert in_band.mean() > 100 * max(out_band.mean(), 1e-12)
+
+
+def test_int16_float32_roundtrip():
+    x = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    f = nr.int16_to_float32(x)
+    assert f.dtype == np.float32
+    back = nr.float32_to_int16(f)
+    assert back.dtype == np.int16
+    assert np.max(np.abs(back.astype(np.int32) - x.astype(np.int32))) <= 1
+
+
+def test_int16_to_float32_validates():
+    import pytest
+
+    with pytest.raises(ValueError):
+        nr.int16_to_float32(np.array([40000.0]))
+
+
+def test_float32_to_int16_renormalizes():
+    out = nr.float32_to_int16(np.array([0.0, 2.0]))
+    assert out[1] == 32767
+
+
+def test_plotting_smoke():
+    rng = np.random.default_rng(0)
+    spec = rng.standard_normal((64, 32))
+    plot_spectrogram(spec, "test")
+    plot_statistics_and_filter(
+        rng.standard_normal(64),
+        rng.standard_normal(64),
+        rng.standard_normal(64),
+        rng.uniform(0, 1, (11, 17)),
+    )
+    plot_reduction_steps(
+        spec, rng.standard_normal(64), rng.standard_normal(64),
+        rng.standard_normal(64), rng.uniform(0, 1, (5, 5)),
+        spec, np.abs(spec), spec,
+    )
+
+
+def test_measure_rtf_sane():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(8000), jnp.float32)
+    rtf = measure_rtf(lambda a: a * 2.0, (x,), audio_seconds=1.0, iters=2)
+    assert rtf > 0
