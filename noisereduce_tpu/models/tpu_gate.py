@@ -42,23 +42,31 @@ def stationary_mask_torch(
     X_db: jax.Array,
     XN_db: Optional[jax.Array],
     n_std_thresh: float,
+    time_axis: int = -1,
 ) -> jax.Array:
     """Binary mask: X_db > per-(batch,freq) noise threshold
-    (torchgate.py:126-165). Noise stats use ddof=1 (torch.std default)."""
+    (torchgate.py:126-165). Noise stats use ddof=1 (torch.std default).
+    ``time_axis``: which axis holds frames (-1 freq-major, -2 time-major)."""
     ref_db = X_db if XN_db is None else XN_db
-    mean = jnp.mean(ref_db, axis=-1)
-    n = ref_db.shape[-1]
-    var = jnp.var(ref_db, axis=-1) * (n / (n - 1))  # unbiased, torch default
+    mean = jnp.mean(ref_db, axis=time_axis)
+    n = ref_db.shape[time_axis]
+    var = jnp.var(ref_db, axis=time_axis) * (n / (n - 1))  # ddof=1 (torch)
     thresh = mean + jnp.sqrt(var) * n_std_thresh
-    return (X_db > thresh[..., None]).astype(X_db.dtype)
+    if time_axis == -1:
+        return (X_db > thresh[..., None]).astype(X_db.dtype)
+    return (X_db > thresh[..., None, :]).astype(X_db.dtype)
 
 
 def nonstationary_mask_torch(
-    X_abs: jax.Array, n_movemean: int, n_thresh: float, temp_coeff: float
+    X_abs: jax.Array,
+    n_movemean: int,
+    n_thresh: float,
+    temp_coeff: float,
+    time_axis: int = -1,
 ) -> jax.Array:
     """Moving-average noise floor + temperature sigmoid
     (torchgate.py:167-198)."""
-    X_smoothed = moving_average_same(X_abs, n_movemean)
+    X_smoothed = moving_average_same(X_abs, n_movemean, axis=time_axis)
     ratio = (X_abs - X_smoothed) / X_smoothed
     return temperature_sigmoid(ratio, n_thresh, temp_coeff)
 
@@ -135,7 +143,9 @@ class TPUGate:
                 raise ValueError(f"xn must be bigger than {self.win_length * 2}")
 
         scfg = self.stft_config
-        X = stft(x, scfg, method=method)
+        # time-major internally: (batch, frames, bins), the DFT's native
+        # layout — avoids transposing the complex spectrogram twice
+        X = stft(x, scfg, method=method, time_major=True)
 
         # Reference dtype quirk: the stationary path's mask is a BOOL tensor
         # and torch promotes ``bool * 1.0`` to float32 (torchgate.py:241), so
@@ -150,28 +160,32 @@ class TPUGate:
                 self.n_movemean_nonstationary,
                 self.n_thresh_nonstationary,
                 self.temp_coeff_nonstationary,
+                time_axis=-2,
             )
         else:
             XN_db = None
             if xn is not None:
                 xn2 = xn if xn.ndim == 2 else xn[None]
-                XN = stft(xn2, scfg, method=method)
-                XN_db = amp_to_db(XN, top_db=40.0).astype(x.dtype)
+                XN = stft(xn2, scfg, method=method, time_major=True)
+                XN_db = amp_to_db(XN, top_db=40.0, axis=-2).astype(x.dtype)
             mask = stationary_mask_torch(
-                amp_to_db(X, top_db=40.0), XN_db, self.n_std_thresh_stationary
+                amp_to_db(X, top_db=40.0, axis=-2),
+                XN_db,
+                self.n_std_thresh_stationary,
+                time_axis=-2,
             )
 
         # prop_decrease blend BEFORE smoothing (torch-path order)
         mask = self.prop_decrease * (mask - 1.0) + 1.0
         smoothing = self.smoothing
         if smoothing is not None:
-            mask = smooth_mask_2d_torchgate(mask, *smoothing)
+            mask = smooth_mask_2d_torchgate(mask, *smoothing, time_major=True)
 
         Y = X * mask.astype(X.dtype)
         # torch.istft without `length` returns (n_frames-1)*hop samples —
         # shorter than the input; the reference returns that natural length
         # (torchgate.py:255-264) and callers slice/zero-fill as needed.
-        y = istft(Y, scfg, method=method)
+        y = istft(Y, scfg, method=method, time_major=True)
         return y.astype(x.dtype)
 
 

@@ -142,11 +142,18 @@ def _torchgate_smoothing_kernel_np(n_grad_freq: int, n_grad_time: int) -> np.nda
 
 
 def smooth_mask_2d_torchgate(
-    mask: jax.Array, n_grad_freq: int, n_grad_time: int
+    mask: jax.Array,
+    n_grad_freq: int,
+    n_grad_time: int,
+    time_major: bool = False,
 ) -> jax.Array:
     """TorchGate-parity smoothing: full 2-D 'same' conv with the f32-rounded
-    kernel (torchgate.py:241-249). Shape (..., freq, time)."""
+    kernel (torchgate.py:241-249). Shape (..., freq, time), or
+    (..., time, freq) with ``time_major`` (kernel transposed — the kernel's
+    f32 values are identical either way)."""
     kern_np = _torchgate_smoothing_kernel_np(n_grad_freq, n_grad_time)
+    if time_major:
+        kern_np = kern_np.T
     kf, kt = kern_np.shape
     batch_shape = mask.shape[:-2]
     f, t = mask.shape[-2], mask.shape[-1]
@@ -366,8 +373,8 @@ def ewma_filtfilt(x: jax.Array, b: float, axis: int = -1) -> jax.Array:
     return jnp.flip(bwd, axis=-1)
 
 
-def moving_average_same(x: jax.Array, n: int) -> jax.Array:
-    """Torch-convention 'same' moving average along the last axis.
+def moving_average_same(x: jax.Array, n: int, axis: int = -1) -> jax.Array:
+    """Torch-convention 'same' moving average along ``axis`` (-1 or -2).
 
     Matches TorchGate's ``conv1d(x, ones(n)/n, padding='same')``
     (torchgate.py:179-190): zero padding split left=(n-1)//2,
@@ -376,4 +383,15 @@ def moving_average_same(x: jax.Array, n: int) -> jax.Array:
     left = (n - 1) // 2
     right = (n - 1) - left
     kernel = np.full(n, 1.0 / n, dtype=np.float64)
-    return _conv1d_same_last(x, kernel, left, right)
+    if axis == -1:
+        return _conv1d_same_last(x, kernel, left, right)
+    assert axis == -2
+    batch_shape = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    xb = x.reshape((-1, 1, h, w))
+    kern = jnp.asarray(kernel, dtype=x.dtype).reshape((1, 1, n, 1))
+    out = jax.lax.conv_general_dilated(
+        xb, kern, (1, 1), [(left, right), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(batch_shape + (h, w))
