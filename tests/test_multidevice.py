@@ -68,3 +68,14 @@ def test_reduce_noise_mesh_multichannel():
     base = nr.reduce_noise(y=y, sr=44100, **kw)
     sharded = nr.reduce_noise(y=y, sr=44100, mesh=_mesh(), **kw)
     np.testing.assert_allclose(sharded, base, atol=1e-10)
+
+
+def test_chunk_mesh_and_distributed_chunks():
+    from noisereduce_tpu.parallel.mesh import chunk_mesh, distributed_chunks
+
+    mesh = chunk_mesh(8)
+    assert mesh.shape["chunks"] == 8
+    local = np.asarray(RNG.standard_normal((1, 8, 500)), dtype=np.float32)
+    arr = distributed_chunks(local, mesh)
+    assert arr.shape == (1, 8, 500)
+    np.testing.assert_allclose(np.asarray(arr), local)
