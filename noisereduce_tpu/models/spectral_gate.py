@@ -101,17 +101,19 @@ def gate_nonstationary(
     """Non-stationary spectral gate over (..., samples)
     (nonstationary.py:47-95).
 
-    ``use_pallas``: True / False / "auto". With True, the |Z| → IIR floor →
-    sigmoid stage runs as one fused Pallas kernel (ops/pallas_mask.py) — a
-    single HBM pass instead of ~6. "auto" currently keeps the XLA path
-    (already ~75% of the HBM-traffic bound after the blockwise-matmul IIR);
-    the kernel is validated in interpreter mode (tests/test_pallas_mask.py)
-    and stays opt-in until its Mosaic compile path is verified on hardware
-    (the backward stage compiles pathologically slowly via remote compile).
+    ``use_pallas``: True / False / "auto". The |Z| → IIR floor → sigmoid
+    stage runs as one fused Pallas kernel (ops/pallas_mask.py) — a single
+    HBM pass instead of ~6, measured +24% pipeline RTF on v5e. "auto"
+    enables it off-CPU for float32 (complex64) compute; the float64/CPU
+    parity path keeps the jnp composition.
     """
     n_samples = chunk.shape[-1]
     Z = stft(chunk, cfg.stft, method=method, time_major=True)
-    pallas_ok = use_pallas is True
+    pallas_ok = use_pallas is True or (
+        use_pallas == "auto"
+        and jax.default_backend() != "cpu"
+        and Z.dtype == jnp.complex64
+    )
     if pallas_ok:
         from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask
 

@@ -54,17 +54,21 @@ def _consts_np(b: float, block: int):
 
 
 def _mask_kernel(
-    re_ref, im_ref, lt_ref, l_ref, dfwd_ref, dbwd_ref, mask_ref, mag_ref, y_ref,
+    magin_ref, lt_ref, l_ref, dfwd_ref, dbwd_ref, mask_ref, mag_ref, y_ref,
     *, n_tb: int, t_real: int, b: float, a_block: float,
     thresh: float, slope: float,
 ):
-    """One (1, F_TILE, T_PAD) tile: full fused mask computation in VMEM."""
+    """One (1, F_TILE, T_PAD) tile: full fused mask computation in VMEM.
+
+    Takes |Z| (not Re/Im) because ``jnp.real``/``jnp.imag`` on complex64
+    inputs are unimplemented in some TPU runtime builds while
+    ``jnp.abs(complex)`` lowers fine; the abs fuses into the producer
+    anyway.
+    """
     f_tile = mag_ref.shape[0]
     t_pad = mag_ref.shape[1]
 
-    re = re_ref[0]
-    im = im_ref[0]
-    mag = jnp.sqrt(re * re + im * im)
+    mag = magin_ref[0]
     # zero out the padded time columns so they don't feed the IIR
     col = jax.lax.broadcasted_iota(jnp.int32, (f_tile, t_pad), 1)
     mag = jnp.where(col < t_real, mag, 0.0)
@@ -136,11 +140,11 @@ def fused_nonstationary_mask(
     t_pad = -(-T // _BT) * _BT
     n_tb = t_pad // _BT
 
-    re = jnp.real(Z).reshape(B, F, T).astype(jnp.float32)
-    im = jnp.imag(Z).reshape(B, F, T).astype(jnp.float32)
+    # |Z| via jnp.abs (works for complex64 everywhere, unlike real/imag on
+    # some TPU runtimes); also accepts a real magnitude array directly
+    mag = jnp.abs(Z).reshape(B, F, T).astype(jnp.float32)
     pad = [(0, 0), (0, f_pad - F), (0, t_pad - T)]
-    re = jnp.pad(re, pad)
-    im = jnp.pad(im, pad)
+    mag = jnp.pad(mag, pad)
 
     L, d_fwd, d_bwd, a_block = _consts_np(b, _BT)
     lt = jnp.asarray(L.T)
@@ -170,7 +174,7 @@ def fused_nonstationary_mask(
     mask = pl.pallas_call(
         kernel,
         grid=(B, f_pad // _FT),
-        in_specs=[tile_spec, tile_spec, mat_spec, mat_spec, vec_spec, vec_spec],
+        in_specs=[tile_spec, mat_spec, mat_spec, vec_spec, vec_spec],
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((B, f_pad, t_pad), jnp.float32),
         scratch_shapes=[
@@ -179,11 +183,12 @@ def fused_nonstationary_mask(
         ],
         interpret=interpret,
     )(
-        re,
-        im,
+        mag,
         lt,
         l_,
-        jnp.broadcast_to(jnp.asarray(d_fwd)[None, :], (_FT, _BT)),
-        jnp.broadcast_to(jnp.asarray(d_bwd)[None, :], (_FT, _BT)),
+        # host-materialized row-replicated decay tiles (a lazy broadcast_to
+        # operand feeding pallas hit an unimplemented TPU lowering)
+        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_fwd[None, :], (_FT, _BT)))),
+        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[None, :], (_FT, _BT)))),
     )
     return mask[:, :F, :T].reshape(batch_shape + (F, T))
