@@ -280,7 +280,9 @@ def _ewma_forward_tm(x: jax.Array, b: float, block: int = 128) -> jax.Array:
 
     L = jnp.asarray(L_np, dtype)
     acc = jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
-    P = jnp.matmul(L, xb, preferred_element_type=acc).astype(dtype)
+    P = jnp.matmul(
+        L, xb, preferred_element_type=acc, precision=jax.lax.Precision.HIGH
+    ).astype(dtype)
 
     last = P[..., -1, :]  # (..., n_blocks, F)
     ab = jnp.asarray(a_block, dtype)
@@ -332,7 +334,9 @@ def _ewma_forward(x: jax.Array, b: float, block: int = 128) -> jax.Array:
 
     Lt = jnp.asarray(L_np.T, dtype)
     acc = jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
-    P = jnp.matmul(xb, Lt, preferred_element_type=acc).astype(dtype)
+    P = jnp.matmul(
+        xb, Lt, preferred_element_type=acc, precision=jax.lax.Precision.HIGH
+    ).astype(dtype)
 
     # carry scan over blocks: c_k = P_k[-1] + a^B * c_{k-1}
     last = P[..., -1]  # (..., n_blocks)

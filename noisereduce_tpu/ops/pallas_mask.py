@@ -89,7 +89,8 @@ def _mask_kernel(
         # uniform recurrence via first-element rescale x[0] /= b
         cidx = jax.lax.broadcasted_iota(jnp.int32, (f_tile, _BT), 1) + start
         xb = jnp.where(cidx == 0, xb * jnp.float32(1.0 / b), xb)
-        p = jnp.dot(xb, lt_ref[...], preferred_element_type=jnp.float32)
+        p = jnp.dot(xb, lt_ref[...], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         yb = p + carry * d_fwd
         y_ref[:, pl.ds(start, _BT)] = yb
         return yb[:, _BT - 1 :]
@@ -107,7 +108,8 @@ def _mask_kernel(
         cidx = jax.lax.broadcasted_iota(jnp.int32, (f_tile, _BT), 1) + start
         yb = jnp.where(cidx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
         yb = jnp.where(cidx > t_real - 1, 0.0, yb)
-        p = jnp.dot(yb, l_ref[...], preferred_element_type=jnp.float32)
+        p = jnp.dot(yb, l_ref[...], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         wb = p + carry * d_bwd
         # final mask for this block: sigmoid((ratio - thresh) * slope)
         mb = mag_ref[:, pl.ds(start, _BT)]

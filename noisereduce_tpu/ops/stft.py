@@ -244,8 +244,11 @@ def stft(
         c = jnp.asarray(c, dtype=x.dtype)
         s = jnp.asarray(s, dtype=x.dtype)
         acc = jnp.float32 if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype
-        re = jnp.matmul(frames, c, preferred_element_type=acc).astype(x.dtype)
-        im = jnp.matmul(frames, s, preferred_element_type=acc).astype(x.dtype)
+        # explicit HIGHEST: the TPU default is bf16-grade (≈2e-3 relative),
+        # far too lossy for audio; true-f32 passes cost <2% of pipeline time
+        prec = jax.lax.Precision.HIGH
+        re = jnp.matmul(frames, c, preferred_element_type=acc, precision=prec).astype(x.dtype)
+        im = jnp.matmul(frames, s, preferred_element_type=acc, precision=prec).astype(x.dtype)
         Z = jax.lax.complex(re, im)
     else:
         Z = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
@@ -308,9 +311,10 @@ def istft(
         ci = jnp.asarray(ci, dtype=rdtype)
         si = jnp.asarray(si, dtype=rdtype)
         acc = jnp.float32 if rdtype in (jnp.float32, jnp.bfloat16) else rdtype
+        prec = jax.lax.Precision.HIGH
         frames = (
-            jnp.matmul(Zt.real, ci, preferred_element_type=acc)
-            + jnp.matmul(Zt.imag, si, preferred_element_type=acc)
+            jnp.matmul(Zt.real, ci, preferred_element_type=acc, precision=prec)
+            + jnp.matmul(Zt.imag, si, preferred_element_type=acc, precision=prec)
         ).astype(rdtype)
     else:
         frames = jnp.fft.irfft(Zt, n=cfg.n_fft, axis=-1)[..., :frame_length]
