@@ -141,32 +141,64 @@ def _torchgate_smoothing_kernel_np(n_grad_freq: int, n_grad_time: int) -> np.nda
         return (k / k.sum(dtype=np.float32)).astype(np.float64)
 
 
+@functools.lru_cache(maxsize=None)
+def _torchgate_kernel_svd_np(n_grad_freq: int, n_grad_time: int):
+    """SVD factorization of the TorchGate smoothing kernel.
+
+    The f32 rounding makes the kernel not *exactly* rank-1, but its trailing
+    singular values are ~1e-8 of σ₀ (pure rounding noise). We keep every
+    term with σᵢ > 1e-10·σ₀ (rank 3-4 in practice, residual ≤ ~3e-11 —
+    orders of magnitude below the reference's own oneDNN f32-conv noise),
+    turning the pathologically slow single-channel 2-D TPU conv into two
+    channel-parallel 1-D convs.
+    Returns (rows, cols): rows (r, kf) = σᵢ·uᵢ, cols (r, kt) = vᵢ.
+    """
+    k = _torchgate_smoothing_kernel_np(n_grad_freq, n_grad_time)
+    u, s, vt = np.linalg.svd(k)
+    r = max(1, int(np.sum(s > 1e-10 * s[0])))
+    return (u[:, :r] * s[:r]).T.copy(), vt[:r].copy()
+
+
 def smooth_mask_2d_torchgate(
     mask: jax.Array,
     n_grad_freq: int,
     n_grad_time: int,
     time_major: bool = False,
 ) -> jax.Array:
-    """TorchGate-parity smoothing: full 2-D 'same' conv with the f32-rounded
+    """TorchGate-parity smoothing: 'same' conv with the f32-rounded 2-D
     kernel (torchgate.py:241-249). Shape (..., freq, time), or
     (..., time, freq) with ``time_major`` (kernel transposed — the kernel's
-    f32 values are identical either way)."""
-    kern_np = _torchgate_smoothing_kernel_np(n_grad_freq, n_grad_time)
+    f32 values are identical either way).
+
+    Implemented as an SVD-separable pair of 1-D convs with the SVD rank as
+    the channel axis (one row-conv fanning out to r channels, one col-conv
+    contracting them) — ~40× faster on TPU than the naive 2-D conv, within
+    ~3e-11 of it.
+    """
+    rows_np, cols_np = _torchgate_kernel_svd_np(n_grad_freq, n_grad_time)
     if time_major:
-        kern_np = kern_np.T
-    kf, kt = kern_np.shape
+        rows_np, cols_np = cols_np, rows_np
+        pr, pc = n_grad_time, n_grad_freq
+    else:
+        pr, pc = n_grad_freq, n_grad_time
+    r, kf = rows_np.shape
+    _, kt = cols_np.shape
     batch_shape = mask.shape[:-2]
-    f, t = mask.shape[-2], mask.shape[-1]
-    xb = mask.reshape((-1, 1, f, t))
-    kern = jnp.asarray(kern_np, dtype=mask.dtype).reshape((1, 1, kf, kt))
-    out = jax.lax.conv_general_dilated(
-        xb,
-        kern,
-        window_strides=(1, 1),
-        padding=[(kf // 2, kf // 2), (kt // 2, kt // 2)],
+    h, w = mask.shape[-2], mask.shape[-1]
+    xb = mask.reshape((-1, 1, h, w))
+    # (r,1,kf,1): fan out to r channels, each convolved with σᵢ·uᵢ over rows
+    k_rows = jnp.asarray(rows_np, mask.dtype).reshape(r, 1, kf, 1)
+    mid = jax.lax.conv_general_dilated(
+        xb, k_rows, (1, 1), [(pr, pr), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return out.reshape(batch_shape + (f, t))
+    # (1,r,1,kt): convolve each channel with vᵢ over cols and sum channels
+    k_cols = jnp.asarray(cols_np, mask.dtype).reshape(1, r, 1, kt)
+    out = jax.lax.conv_general_dilated(
+        mid, k_cols, (1, 1), [(0, 0), (pc, pc)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(batch_shape + (h, w))
 
 
 def smooth_mask(
