@@ -59,12 +59,16 @@ def _run_stationary(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
+    static_argnames=(
+        "cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
+        "use_pallas",
+    ),
 )
 def _run_nonstationary(
-    y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks", mpc=0
+    y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks",
+    mpc=0, use_pallas="auto",
 ):
-    fn = lambda c: gate_nonstationary(c, cfg, method=method)
+    fn = lambda c: gate_nonstationary(c, cfg, method=method, use_pallas=use_pallas)
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
         max_parallel_chunks=mpc,
@@ -214,9 +218,17 @@ def reduce_noise(
     cdtype = compute_dtype or _default_compute_dtype()
     y2d = jnp.asarray(y2d, dtype=cdtype)
 
+    use_pallas = "auto"
     if device is not None:
         dev = jax.devices(device)[0] if isinstance(device, str) else device
         y2d = jax.device_put(y2d, dev)
+        # the fused Mosaic kernel is TPU-only; an explicit non-TPU device
+        # must take the jnp path even when the default backend is a TPU
+        if not (
+            dev.platform == "tpu"
+            or "TPU" in getattr(dev, "device_kind", "").upper()
+        ):
+            use_pallas = False
 
     axis_name = mesh.axis_names[0] if mesh is not None else "chunks"
 
@@ -291,7 +303,7 @@ def reduce_noise(
         )
         out = _run_nonstationary(
             y2d, cfg, chunk_size, padding, method, mesh, axis_name,
-            max_parallel_chunks,
+            max_parallel_chunks, use_pallas,
         )
 
     out = np.asarray(out).astype(out_dtype)
@@ -345,7 +357,10 @@ def _reduce_noise_torch_path(
     if y_noise is not None:
         yn = np.asarray(y_noise)
         if yn.shape[-1] > y2d.shape[-1] and clip_noise_stationary:
-            yn = yn[..., : y2d.shape[-1]]
+            # reference quirk (streamed_torch_gate.py:57-58): the clip
+            # slices the FIRST axis — samples for 1-D noise, but channels
+            # (usually a no-op) for 2-D noise. Reproduced for drop-in parity.
+            yn = yn[: y2d.shape[-1]]
         if yn.ndim == 1:
             yn = yn[None, :]
         yn = jnp.asarray(yn, dtype=cdtype)

@@ -35,6 +35,17 @@ __all__ = [
 ]
 
 
+def _tpu_available() -> bool:
+    """True when the default backend's devices are TPUs (the Mosaic kernel
+    is TPU-only). Matches TPU PJRT plugins whose platform name isn't 'tpu'
+    (e.g. tunneled platforms) via device_kind."""
+    try:
+        dev = jax.devices()[0]
+    except Exception:  # pragma: no cover
+        return False
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "").upper()
+
+
 def _apply_mask_and_invert(
     Z: jax.Array, mask: jax.Array, cfg: GateConfig, n_samples: int, method: str
 ) -> jax.Array:
@@ -109,10 +120,15 @@ def gate_nonstationary(
     """
     n_samples = chunk.shape[-1]
     Z = stft(chunk, cfg.stft, method=method, time_major=True)
+    # VMEM budget: the kernel keeps the whole frame axis resident
+    # (2 scratch + in + out ≈ 4 tiles of (128, t_pad) f32, double-buffered);
+    # past ~6k frames it no longer fits and the jnp path takes over.
+    n_frames = Z.shape[-2]
     pallas_ok = use_pallas is True or (
         use_pallas == "auto"
-        and jax.default_backend() != "cpu"
+        and _tpu_available()
         and Z.dtype == jnp.complex64
+        and n_frames <= 6000
     )
     if pallas_ok:
         from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask

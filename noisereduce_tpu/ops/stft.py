@@ -244,8 +244,9 @@ def stft(
         c = jnp.asarray(c, dtype=x.dtype)
         s = jnp.asarray(s, dtype=x.dtype)
         acc = jnp.float32 if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype
-        # explicit HIGHEST: the TPU default is bf16-grade (≈2e-3 relative),
-        # far too lossy for audio; true-f32 passes cost <2% of pipeline time
+        # explicit HIGH (bf16_3x): the TPU default is bf16-grade (≈2e-3
+        # relative) — too lossy for audio; HIGH lands within ~3e-4 of exact
+        # f32 at a fraction of HIGHEST's 6-pass cost (see BASELINE.md)
         prec = jax.lax.Precision.HIGH
         re = jnp.matmul(frames, c, preferred_element_type=acc, precision=prec).astype(x.dtype)
         im = jnp.matmul(frames, s, preferred_element_type=acc, precision=prec).astype(x.dtype)

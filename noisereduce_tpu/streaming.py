@@ -105,6 +105,25 @@ def reduce_noise_file(
             yn = head.mean(axis=1) if head.ndim == 2 else head
         thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
 
+    _, channels, _ = nrio.wav_info(in_path)
+    writer = nrio.WavWriter(out_path, sr, channels, n_frames_in, as_float=as_float)
+
+    if n_frames_in <= chunk_size:
+        # match reduce_noise's unchunked fast path exactly: the filtered
+        # view is (n + 2*padding), NOT a zero-extended full chunk — the
+        # non-stationary IIR floor is global over frames, so the shapes
+        # must agree for outputs to match (chunking.process_chunked).
+        _, data = nrio.read_wav(in_path, dtype="float32")
+        y2d = data.T if data.ndim == 2 else data[None]
+        x = jnp.pad(jnp.asarray(y2d), [(0, 0), (padding, padding)])
+        if stationary:
+            out = _chunk_stationary(x, thresh, cfg, method)
+        else:
+            out = _chunk_nonstationary(x, cfg, method)
+        writer.write(np.asarray(out[..., padding : padding + n_frames_in]).T)
+        writer.close()
+        return n_frames_in
+
     chunks_iter = nrio.stream_chunks(in_path, chunk_size, padding)
     if use_tqdm:
         # progress over chunks, mirroring the reference's opt-in tqdm
@@ -114,16 +133,14 @@ def reduce_noise_file(
         n_chunks = (n_frames_in - 1) // chunk_size + 1
         chunks_iter = tqdm(chunks_iter, total=n_chunks)
 
-    pieces = []
     for _, chunk in chunks_iter:
         x = jnp.asarray(chunk)  # (channels, view) float32
         if stationary:
             out = _chunk_stationary(x, thresh, cfg, method)
         else:
             out = _chunk_nonstationary(x, cfg, method)
-        pieces.append(np.asarray(out[..., padding : padding + chunk_size]))
-
-    # trim the final zero-padded tail to the true signal length
-    y = np.concatenate(pieces, axis=-1)[..., :n_frames_in]  # (ch, n)
-    nrio.write_wav(out_path, y.T if y.shape[0] > 1 else y[0], sr, as_float=as_float)
+        # stream each chunk's core straight to disk (constant host memory);
+        # WavWriter trims the final zero-padded tail to n_frames_in
+        writer.write(np.asarray(out[..., padding : padding + chunk_size]).T)
+    writer.close()
     return n_frames_in

@@ -22,6 +22,7 @@ __all__ = [
     "read_wav",
     "write_wav",
     "stream_chunks",
+    "WavWriter",
 ]
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_native", "libnrio.so")
@@ -106,10 +107,18 @@ def read_wav(
         if frames >= 0 or start:
             end = None if frames < 0 else start + frames
             data = data[start:end]
-        if dtype == "float32" and data.dtype == np.int16:
-            data = (data / 32768.0).astype(np.float32)
-        elif dtype == "float32":
-            data = data.astype(np.float32)
+        if dtype == "float32":
+            # scale integer formats to [-1, 1) like the native reader
+            if data.dtype == np.int16:
+                data = (data / 32768.0).astype(np.float32)
+            elif data.dtype == np.int32:
+                data = (data / 2147483648.0).astype(np.float32)
+            elif data.dtype == np.uint8:
+                data = ((data.astype(np.float32) - 128.0) / 128.0).astype(
+                    np.float32
+                )
+            else:
+                data = data.astype(np.float32)
         return rate, data
 
     info = (ctypes.c_int64 * 5)()
@@ -168,6 +177,72 @@ def write_wav(path: str, data: np.ndarray, sr: int, as_float: bool = False) -> N
         raise IOError(f"nrio: write failed (rc={rc})")
 
 
+class WavWriter:
+    """Incremental WAV writer (PCM16 or IEEE float32) for streaming output
+    at constant host memory: write the header with the final frame count up
+    front, then append frames as they are produced.
+
+    Usage::
+
+        with WavWriter(path, sr, channels, n_frames, as_float=True) as w:
+            for block in ...:   # (frames,) or (frames, channels) float
+                w.write(block)
+    """
+
+    def __init__(self, path: str, sr: int, channels: int, n_frames: int,
+                 as_float: bool = False):
+        import struct
+
+        self._as_float = as_float
+        bits = 32 if as_float else 16
+        fmt = 3 if as_float else 1
+        data_bytes = n_frames * channels * (bits // 8)
+        self._expected = n_frames
+        self._written = 0
+        self._channels = channels
+        self._f = open(path, "wb")
+        self._f.write(b"RIFF")
+        self._f.write(struct.pack("<I", 36 + data_bytes))
+        self._f.write(b"WAVEfmt ")
+        self._f.write(
+            struct.pack(
+                "<IHHIIHH", 16, fmt, channels, sr,
+                sr * channels * (bits // 8), channels * (bits // 8), bits,
+            )
+        )
+        self._f.write(b"data")
+        self._f.write(struct.pack("<I", data_bytes))
+
+    def write(self, block) -> None:
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim == 1:
+            block = block[:, None]
+        if block.shape[1] != self._channels:
+            raise ValueError("channel count mismatch")
+        take = min(len(block), self._expected - self._written)
+        block = block[:take]
+        if self._as_float:
+            self._f.write(np.ascontiguousarray(block).tobytes())
+        else:
+            q = np.clip(block * 32767.0, -32768, 32767).astype(np.int16)
+            self._f.write(np.ascontiguousarray(q).tobytes())
+        self._written += take
+
+    def close(self) -> None:
+        if self._written < self._expected:
+            pad = np.zeros(
+                (self._expected - self._written, self._channels), np.float32
+            )
+            self.write(pad)
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def stream_chunks(
     path: str, chunk_size: int, padding: int
 ) -> Iterator[Tuple[int, np.ndarray]]:
@@ -198,8 +273,14 @@ def stream_chunks(
             idx = lib.nrio_stream_next(
                 h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             )
-            if idx < 0:
-                break
+            if idx == -1:
+                break  # end of stream
+            if idx < -1:
+                raise IOError(
+                    f"nrio: streaming unsupported sample format in {path!r} "
+                    f"(rc={idx}); streaming supports PCM16/float32 — use "
+                    "read_wav for other formats"
+                )
             yield int(idx), buf.copy()
     finally:
         lib.nrio_stream_close(h)

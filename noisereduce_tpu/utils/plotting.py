@@ -1,10 +1,7 @@
 """Matplotlib debug views of the gating pipeline
-(reference noisereduce/plotting.py:5-61 — same role: manual, not wired into
-the main path).
-
-Unlike the reference, ``plot_reduction_steps`` here can also derive every
-intermediate itself from (y, sr, cfg) via the functional pipeline, since the
-pipeline is pure.
+(reference noisereduce/plotting.py:5-61 — same role and signatures: the
+caller passes the intermediates to plot; nothing here is wired into the
+main path).
 """
 from __future__ import annotations
 

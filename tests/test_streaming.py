@@ -74,3 +74,79 @@ def test_cli_end_to_end(tmp_path, wav):
     _, got = nrio.read_wav(out_path, dtype="float32")
     assert got.shape == (N,)
     assert np.all(np.isfinite(got))
+
+
+def test_short_file_matches_in_memory_nonstationary(tmp_path, wav):
+    """Files shorter than chunk_size must take the same unchunked fast path
+    as reduce_noise (the IIR floor is global over frames, so a zero-extended
+    full-chunk view would change the output)."""
+    in_path, y = wav
+    out_path = str(tmp_path / "short.wav")
+    frames = reduce_noise_file(
+        in_path, out_path, stationary=False,
+        chunk_size=100000, padding=3000, as_float=True,  # N=60000 < chunk
+    )
+    assert frames == N
+    _, got = nrio.read_wav(out_path, dtype="float32")
+    want = nr.reduce_noise(
+        y=y, sr=SR, stationary=False, chunk_size=100000, padding=3000,
+        compute_dtype=np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_wav_writer_incremental(tmp_path):
+    rng = np.random.default_rng(9)
+    y = rng.uniform(-0.8, 0.8, (5000, 2)).astype(np.float32)
+    p = str(tmp_path / "w.wav")
+    with nrio.WavWriter(p, 22050, 2, 5000, as_float=True) as w:
+        for i in range(0, 5000, 1234):
+            w.write(y[i : i + 1234])
+    rate, back = nrio.read_wav(p)
+    assert rate == 22050
+    np.testing.assert_array_equal(back, y)
+
+
+def test_wav_writer_pads_missing_tail(tmp_path):
+    p = str(tmp_path / "pad.wav")
+    with nrio.WavWriter(p, 8000, 1, 100, as_float=True) as w:
+        w.write(np.ones(40, np.float32))
+    _, back = nrio.read_wav(p)
+    assert back.shape == (100,)
+    assert np.all(back[:40] == 1.0) and np.all(back[40:] == 0.0)
+
+
+def test_stream_chunks_unsupported_format_raises(tmp_path):
+    if not nrio.native_available():
+        import pytest
+
+        pytest.skip("native lib required")
+    from scipy.io import wavfile
+
+    p = str(tmp_path / "i32.wav")
+    wavfile.write(p, 8000, np.zeros(50000, dtype=np.int32))
+    import pytest
+
+    with pytest.raises(IOError, match="unsupported sample format"):
+        list(nrio.stream_chunks(p, 20000, 1000))
+
+
+def test_read_wav_fallback_scales_int32(tmp_path):
+    from scipy.io import wavfile
+
+    p = str(tmp_path / "i32b.wav")
+    x = (np.linspace(-1, 1, 1000) * 2**31 * 0.5).astype(np.int32)
+    wavfile.write(p, 8000, x)
+    real_load = nrio._load
+    nrio._lib = None
+    try:
+        nrio._load = lambda: None
+        _, got = nrio.read_wav(p, dtype="float32")
+    finally:
+        nrio._load = real_load
+        nrio._lib = None
+    np.testing.assert_allclose(got, x / 2147483648.0, atol=1e-7)
+    # native reader agrees
+    if nrio.native_available():
+        _, got_native = nrio.read_wav(p, dtype="float32")
+        np.testing.assert_allclose(got_native, got, atol=1e-7)
