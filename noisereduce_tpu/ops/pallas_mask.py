@@ -122,6 +122,16 @@ def _mask_kernel(
     jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
 
 
+def _jnp_mask_impl(Z, b, thresh_mult, slope):
+    """Differentiable jnp twin of the kernel (used for VJP: pallas_call has
+    no autodiff rule, and the gate should be grad-able with use_pallas on)."""
+    from noisereduce_tpu.ops.dsp import ewma_filtfilt, sigmoid
+
+    mag = jnp.abs(Z)
+    floor = ewma_filtfilt(mag, b)
+    return sigmoid((mag - floor) / floor, -thresh_mult, slope)
+
+
 def fused_nonstationary_mask(
     Z: jax.Array,
     b: float,
@@ -134,7 +144,16 @@ def fused_nonstationary_mask(
     Z: complex64, (..., F, T). Returns float32 mask of the same shape.
     Matches sigmoid(((|Z|-floor)/floor) + (-thresh))*slope) with the jnp
     path (ewma_filtfilt) to float32 accumulation order.
+
+    Differentiable: under grad/vjp the value and gradient come from the jnp
+    composition (custom_vjp — Mosaic kernels have no autodiff rule); the
+    fused kernel runs on the inference path.
     """
+    return _fused_mask_cvjp(Z, b, thresh_mult, slope, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _fused_mask_cvjp(Z, b, thresh_mult, slope, interpret):
     batch_shape = Z.shape[:-2]
     F, T = Z.shape[-2], Z.shape[-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -195,3 +214,18 @@ def fused_nonstationary_mask(
         jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[None, :], (_FT, _BT)))),
     )
     return mask[:, :F, :T].reshape(batch_shape + (F, T))
+
+
+def _fused_mask_fwd(Z, b, thresh_mult, slope, interpret):
+    # fwd receives the args in their original order; bwd gets the
+    # nondiff_argnums values first, then residuals and the cotangent.
+    out, vjp_fn = jax.vjp(lambda z: _jnp_mask_impl(z, b, thresh_mult, slope), Z)
+    return out, vjp_fn
+
+
+def _fused_mask_bwd(b, thresh_mult, slope, interpret, vjp_fn, g):
+    (dZ,) = vjp_fn(g)
+    return (dZ,)
+
+
+_fused_mask_cvjp.defvjp(_fused_mask_fwd, _fused_mask_bwd)

@@ -64,3 +64,33 @@ def test_gate_pallas_flag_cpu_interpretable():
     auto = gate_nonstationary(x, cfg)
     off = gate_nonstationary(x, cfg, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(auto), np.asarray(off))
+
+
+def test_fused_mask_is_differentiable():
+    """grad must work with the kernel path selected (custom_vjp routes
+    differentiation through the jnp twin — pallas_call has no autodiff)."""
+    from noisereduce_tpu.config import GateConfig
+    from noisereduce_tpu.models.spectral_gate import gate_nonstationary
+
+    cfg = GateConfig(sr=8000, n_fft=256)
+    x = jnp.asarray(RNG.standard_normal(4000), dtype=jnp.float32)
+
+    def loss(x):
+        return jnp.mean(gate_nonstationary(x, cfg, use_pallas=True) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # gradient equals the jnp path's gradient
+    g_ref = jax.grad(
+        lambda x: jnp.mean(gate_nonstationary(x, cfg, use_pallas=False) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
+
+
+def test_fused_mask_custom_vjp_value():
+    Z = (RNG.standard_normal((1, 65, 130)) + 1j * RNG.standard_normal((1, 65, 130))).astype(np.complex64)
+    b = iir_b_coefficient(2.0, 44100, 256)
+    # primal via interpret kernel vs jnp impl
+    got = np.asarray(fused_nonstationary_mask(jnp.asarray(Z), b, 2.0, 10.0, True))
+    want = np.asarray(_jnp_mask(jnp.asarray(Z), b, 2.0, 10.0))
+    np.testing.assert_allclose(got, want, atol=2e-5)
