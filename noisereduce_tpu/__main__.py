@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-fft", type=int, default=1024)
     p.add_argument("--win-length", type=int, default=None)
     p.add_argument("--hop-length", type=int, default=None)
+    p.add_argument("--torch-convention", action="store_true", dest="use_torch",
+                   help="use the torch-convention gate (TPUGate semantics)")
     p.add_argument("--float", action="store_true", dest="as_float",
                    help="write IEEE-float WAV instead of PCM16")
     p.add_argument("--quiet", action="store_true")
@@ -84,6 +86,7 @@ def main(argv=None) -> int:
         win_length=args.win_length,
         hop_length=args.hop_length,
         as_float=args.as_float,
+        use_torch=args.use_torch,
     )
     dt = time.perf_counter() - t0
     if not args.quiet:

@@ -46,6 +46,15 @@ def _noise_threshold(y_noise_mono, cfg, method):
     return stationary_noise_threshold(y_noise_mono, cfg, method=method)
 
 
+@functools.partial(jax.jit, static_argnames=("gate", "method"))
+def _chunk_torch(chunk, xn, gate, method):
+    out = gate(chunk, xn, method=method)
+    deficit = chunk.shape[-1] - out.shape[-1]
+    if deficit:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
+    return out
+
+
 def reduce_noise_file(
     in_path: str,
     out_path: str,
@@ -67,6 +76,7 @@ def reduce_noise_file(
     method: str = "auto",
     as_float: bool = False,
     use_tqdm: bool = False,
+    use_torch: bool = False,
 ) -> int:
     """Denoise a WAV file into another WAV file, streaming chunk by chunk.
 
@@ -75,6 +85,9 @@ def reduce_noise_file(
     ``chunk_size`` samples of the mono mix when ``y_noise`` is None —
     the same samples the in-memory reference path uses
     (stationary.py:47-64 with clip_noise_stationary).
+
+    ``use_torch`` selects the torch-convention gate (TPUGate), mirroring
+    ``reduce_noise(use_torch=True)``.
     """
     sr, _, n_frames_in = nrio.wav_info(in_path)
     cfg = GateConfig(
@@ -93,8 +106,32 @@ def reduce_noise_file(
         convention=Convention.SCIPY,
     )
 
-    thresh = None
-    if stationary:
+    gate_t = xn_t = thresh = None
+    if use_torch:
+        from noisereduce_tpu.models.tpu_gate import TPUGate
+
+        win = n_fft if win_length is None else win_length
+        hop = win // 4 if hop_length is None else hop_length
+        gate_t = TPUGate(
+            sr=sr,
+            nonstationary=not stationary,
+            n_std_thresh_stationary=n_std_thresh_stationary,
+            n_thresh_nonstationary=thresh_n_mult_nonstationary,
+            temp_coeff_nonstationary=1 / sigmoid_slope_nonstationary,
+            n_movemean_nonstationary=int(time_constant_s / hop * sr),
+            prop_decrease=prop_decrease,
+            n_fft=n_fft,
+            win_length=win_length,
+            hop_length=hop_length,
+            freq_mask_smooth_hz=freq_mask_smooth_hz,
+            time_mask_smooth_ms=time_mask_smooth_ms,
+        )
+        if y_noise is not None:
+            yn = np.asarray(y_noise, dtype=np.float32)
+            if yn.shape[-1] > n_frames_in and clip_noise_stationary:
+                yn = yn[:n_frames_in]  # first-axis quirk, see api.py
+            xn_t = jnp.asarray(yn if yn.ndim == 2 else yn[None, :])
+    elif stationary:
         if y_noise is not None:
             yn = np.asarray(y_noise, dtype=np.float32)
             yn = yn if yn.ndim == 1 else yn.mean(axis=0)
@@ -104,6 +141,13 @@ def reduce_noise_file(
             _, head = nrio.read_wav(in_path, dtype="float32", frames=chunk_size)
             yn = head.mean(axis=1) if head.ndim == 2 else head
         thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
+
+    def _filter(x):
+        if use_torch:
+            return _chunk_torch(x, xn_t, gate_t, method)
+        if stationary:
+            return _chunk_stationary(x, thresh, cfg, method)
+        return _chunk_nonstationary(x, cfg, method)
 
     _, channels, _ = nrio.wav_info(in_path)
     writer = nrio.WavWriter(out_path, sr, channels, n_frames_in, as_float=as_float)
@@ -116,10 +160,7 @@ def reduce_noise_file(
         _, data = nrio.read_wav(in_path, dtype="float32")
         y2d = data.T if data.ndim == 2 else data[None]
         x = jnp.pad(jnp.asarray(y2d), [(0, 0), (padding, padding)])
-        if stationary:
-            out = _chunk_stationary(x, thresh, cfg, method)
-        else:
-            out = _chunk_nonstationary(x, cfg, method)
+        out = _filter(x)
         writer.write(np.asarray(out[..., padding : padding + n_frames_in]).T)
         writer.close()
         return n_frames_in
@@ -135,10 +176,7 @@ def reduce_noise_file(
 
     for _, chunk in chunks_iter:
         x = jnp.asarray(chunk)  # (channels, view) float32
-        if stationary:
-            out = _chunk_stationary(x, thresh, cfg, method)
-        else:
-            out = _chunk_nonstationary(x, cfg, method)
+        out = _filter(x)
         # stream each chunk's core straight to disk (constant host memory);
         # WavWriter trims the final zero-padded tail to n_frames_in
         writer.write(np.asarray(out[..., padding : padding + chunk_size]).T)

@@ -150,3 +150,19 @@ def test_read_wav_fallback_scales_int32(tmp_path):
     if nrio.native_available():
         _, got_native = nrio.read_wav(p, dtype="float32")
         np.testing.assert_allclose(got_native, got, atol=1e-7)
+
+
+@pytest.mark.parametrize("stationary", [True, False])
+def test_file_use_torch_matches_in_memory(tmp_path, wav, stationary):
+    in_path, y = wav
+    out_path = str(tmp_path / "t.wav")
+    reduce_noise_file(
+        in_path, out_path, stationary=stationary, use_torch=True,
+        chunk_size=20000, padding=3000, as_float=True,
+    )
+    _, got = nrio.read_wav(out_path, dtype="float32")
+    want = nr.reduce_noise(
+        y=y, sr=SR, stationary=stationary, use_torch=True,
+        chunk_size=20000, padding=3000, compute_dtype=np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
