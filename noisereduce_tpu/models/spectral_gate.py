@@ -47,15 +47,17 @@ def _tpu_available() -> bool:
 
 
 def _apply_mask_and_invert(
-    Z: jax.Array, mask: jax.Array, cfg: GateConfig, n_samples: int, method: str
+    Z, mask: jax.Array, cfg: GateConfig, n_samples: int, method: str
 ) -> jax.Array:
     """mask · STFT → ISTFT, zero-filled back to the input length.
 
     The reference writes the (shorter) ISTFT output into a zeros buffer of
     the chunk's shape (stationary.py:85,126; nonstationary.py:49,95).
-    Operates in time-major layout (..., frames, bins) end-to-end.
+    Operates in time-major split-complex form (re, im) end-to-end.
     """
-    y = istft(Z * mask.astype(Z.dtype), cfg.stft, method=method, time_major=True)
+    re, im = Z
+    mask = mask.astype(re.dtype)
+    y = istft((re * mask, im * mask), cfg.stft, method=method, time_major=True)
     out_len = y.shape[-1]
     if out_len < n_samples:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_samples - out_len)])
@@ -72,8 +74,8 @@ def stationary_noise_threshold(
     mean + std * n_std_thresh over time of the noise dB spectrogram
     (stationary.py:67-81; np.std ddof=0).
     """
-    Zn = stft(y_noise, cfg.stft, method=method, time_major=True)
-    Zn_db = amp_to_db(Zn, top_db=80.0, axis=-2)  # time axis
+    re, im = stft(y_noise, cfg.stft, method=method, time_major=True, split=True)
+    Zn_db = amp_to_db(jnp.sqrt(re * re + im * im), top_db=80.0, axis=-2)
     mean = jnp.mean(Zn_db, axis=-2)
     std = jnp.std(Zn_db, axis=-2)  # ddof=0, matching np.std
     return mean + std * cfg.n_std_thresh_stationary  # (..., n_bins)
@@ -91,8 +93,8 @@ def gate_stationary(
     per-frequency threshold broadcasts directly over frames.
     """
     n_samples = chunk.shape[-1]
-    Z = stft(chunk, cfg.stft, method=method, time_major=True)
-    Z_db = amp_to_db(Z, top_db=80.0, axis=-2)
+    re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
+    Z_db = amp_to_db(jnp.sqrt(re * re + im * im), top_db=80.0, axis=-2)
     # mask where the signal rises above the per-frequency noise threshold
     mask = (Z_db > noise_thresh).astype(Z_db.dtype)
     # prop_decrease blend FIRST (stationary-path order)
@@ -100,7 +102,7 @@ def gate_stationary(
     smoothing = cfg.smoothing
     if smoothing is not None:
         mask = smooth_mask(mask, *smoothing, time_major=True)
-    return _apply_mask_and_invert(Z, mask, cfg, n_samples, method)
+    return _apply_mask_and_invert((re, im), mask, cfg, n_samples, method)
 
 
 def gate_nonstationary(
@@ -119,33 +121,29 @@ def gate_nonstationary(
     parity path keeps the jnp composition.
     """
     n_samples = chunk.shape[-1]
-    Z = stft(chunk, cfg.stft, method=method, time_major=True)
+    re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
     # VMEM budget: the kernel keeps the whole frame axis resident
-    # (2 scratch + in + out ≈ 4 tiles of (128, t_pad) f32, double-buffered);
+    # (2 scratch + re + im + out tiles of (t_pad, 128) f32, double-buffered);
     # past ~6k frames it no longer fits and the jnp path takes over.
-    n_frames = Z.shape[-2]
+    n_frames = re.shape[-2]
     pallas_ok = use_pallas is True or (
         use_pallas == "auto"
         and _tpu_available()
-        and Z.dtype == jnp.complex64
+        and re.dtype == jnp.float32
         and n_frames <= 6000
     )
     if pallas_ok:
-        from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask
+        from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask_tm
 
-        # the fused kernel works freq-major; convert at its boundary
-        mask = jnp.swapaxes(
-            fused_nonstationary_mask(
-                jnp.swapaxes(Z, -1, -2),
-                cfg.iir_b,
-                cfg.thresh_n_mult_nonstationary,
-                cfg.sigmoid_slope_nonstationary,
-            ),
-            -1,
-            -2,
+        mask = fused_nonstationary_mask_tm(
+            re,
+            im,
+            cfg.iir_b,
+            cfg.thresh_n_mult_nonstationary,
+            cfg.sigmoid_slope_nonstationary,
         )
     else:
-        mag = jnp.abs(Z)
+        mag = jnp.sqrt(re * re + im * im)
         # time-smoothed noise floor: zero-phase first-order IIR per
         # frequency, along the frame axis (nonstationary.py:106-115)
         floor = ewma_filtfilt(mag, cfg.iir_b, axis=-2)
@@ -160,4 +158,4 @@ def gate_nonstationary(
         mask = smooth_mask(mask, *smoothing, time_major=True)
     # prop_decrease blend AFTER smoothing (non-stationary-path order)
     mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
-    return _apply_mask_and_invert(Z, mask, cfg, n_samples, method)
+    return _apply_mask_and_invert((re, im), mask, cfg, n_samples, method)

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_nonstationary_mask"]
+__all__ = ["fused_nonstationary_mask", "fused_nonstationary_mask_tm"]
 
 _BT = 128       # time block (MXU contraction size)
 _FT = 128       # frequency tile (sublane-major rows)
@@ -214,6 +214,153 @@ def _fused_mask_cvjp(Z, b, thresh_mult, slope, interpret):
         jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[None, :], (_FT, _BT)))),
     )
     return mask[:, :F, :T].reshape(batch_shape + (F, T))
+
+
+def _mask_kernel_tm(
+    re_ref, im_ref, l_ref, lt_ref, dfwd_ref, dbwd_ref, mask_ref, mag_ref, y_ref,
+    *, n_tb: int, t_real: int, b: float, thresh: float, slope: float,
+):
+    """Time-major twin of ``_mask_kernel``: one (1, T_PAD, F_TILE) tile.
+
+    The IIR runs along rows (frames) via L @ block matmuls; inputs are the
+    split re/im planes (the |Z| fuses in here), so the surrounding pipeline
+    never materializes complex64, the magnitude, or any transposes.
+    """
+    t_pad = mag_ref.shape[0]
+    f_tile = mag_ref.shape[1]
+
+    re = re_ref[0]
+    im = im_ref[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_pad, f_tile), 0)
+    mag_ref[...] = jnp.where(row < t_real, jnp.sqrt(re * re + im * im), 0.0)
+
+    d_fwd = dfwd_ref[...]  # (BT, F_TILE), column-replicated decay vectors
+    d_bwd = dbwd_ref[...]
+
+    def fwd_body(kb, carry):
+        start = pl.multiple_of(kb * _BT, _BT)
+        xb = mag_ref[pl.ds(start, _BT), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_BT, f_tile), 0) + start
+        xb = jnp.where(ridx == 0, xb * jnp.float32(1.0 / b), xb)
+        p = jnp.dot(l_ref[...], xb, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        yb = p + carry * d_fwd
+        y_ref[pl.ds(start, _BT), :] = yb
+        return yb[_BT - 1 :, :]
+
+    carry0 = jnp.zeros((1, f_tile), jnp.float32)
+    jax.lax.fori_loop(0, n_tb, fwd_body, carry0)
+
+    def bwd_body(k, carry):
+        kb = n_tb - 1 - k
+        start = pl.multiple_of(kb * _BT, _BT)
+        yb = y_ref[pl.ds(start, _BT), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_BT, f_tile), 0) + start
+        yb = jnp.where(ridx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
+        yb = jnp.where(ridx > t_real - 1, 0.0, yb)
+        p = jnp.dot(lt_ref[...], yb, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        wb = p + carry * d_bwd
+        mb = mag_ref[pl.ds(start, _BT), :]
+        safe_w = jnp.where(wb == 0.0, 1.0, wb)
+        ratio = (mb - wb) / safe_w
+        mask = jax.nn.sigmoid((ratio - jnp.float32(thresh)) * jnp.float32(slope))
+        mask_ref[0, pl.ds(start, _BT), :] = jnp.where(ridx < t_real, mask, 0.0)
+        return wb[:1, :]
+
+    jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
+
+
+def _jnp_mask_impl_tm(re, im, b, thresh_mult, slope):
+    from noisereduce_tpu.ops.dsp import ewma_filtfilt, sigmoid
+
+    mag = jnp.sqrt(re * re + im * im)
+    floor = ewma_filtfilt(mag, b, axis=-2)
+    return sigmoid((mag - floor) / floor, -thresh_mult, slope)
+
+
+def fused_nonstationary_mask_tm(
+    re: jax.Array,
+    im: jax.Array,
+    b: float,
+    thresh_mult: float,
+    slope: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Time-major split-complex fused mask: (re, im) (..., T, F) float32 →
+    float32 mask (..., T, F). Same math as ``fused_nonstationary_mask`` with
+    |Z| fused in and no layout changes around the kernel. Differentiable
+    via custom_vjp (jnp twin under grad)."""
+    return _fused_mask_tm_cvjp(re, im, b, thresh_mult, slope, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_mask_tm_cvjp(re, im, b, thresh_mult, slope, interpret):
+    batch_shape = re.shape[:-2]
+    T, F = re.shape[-2], re.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    f_pad = -(-F // _FT) * _FT
+    t_pad = -(-T // _BT) * _BT
+    n_tb = t_pad // _BT
+
+    pad = [(0, 0), (0, t_pad - T), (0, f_pad - F)]
+    re2 = jnp.pad(re.reshape(B, T, F).astype(jnp.float32), pad)
+    im2 = jnp.pad(im.reshape(B, T, F).astype(jnp.float32), pad)
+
+    L, d_fwd, d_bwd, _ = _consts_np(b, _BT)
+
+    kernel = functools.partial(
+        _mask_kernel_tm,
+        n_tb=n_tb,
+        t_real=T,
+        b=b,
+        thresh=thresh_mult,
+        slope=slope,
+    )
+    tile_spec = pl.BlockSpec(
+        (1, t_pad, _FT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    mat_spec = pl.BlockSpec(
+        (_BT, _BT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec(
+        (_BT, _FT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    mask = pl.pallas_call(
+        kernel,
+        grid=(B, f_pad // _FT),
+        in_specs=[tile_spec, tile_spec, mat_spec, mat_spec, vec_spec, vec_spec],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t_pad, _FT), jnp.float32),  # mag
+            pltpu.VMEM((t_pad, _FT), jnp.float32),  # forward IIR result
+        ],
+        interpret=interpret,
+    )(
+        re2,
+        im2,
+        jnp.asarray(L),
+        jnp.asarray(L.T),
+        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_fwd[:, None], (_BT, _FT)))),
+        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[:, None], (_BT, _FT)))),
+    )
+    return mask[:, :T, :F].reshape(batch_shape + (T, F))
+
+
+def _fused_mask_tm_fwd(re, im, b, thresh_mult, slope, interpret):
+    out, vjp_fn = jax.vjp(
+        lambda r, i: _jnp_mask_impl_tm(r, i, b, thresh_mult, slope), re, im
+    )
+    return out, vjp_fn
+
+
+def _fused_mask_tm_bwd(b, thresh_mult, slope, interpret, vjp_fn, g):
+    return vjp_fn(g)
+
+
+_fused_mask_tm_cvjp.defvjp(_fused_mask_tm_fwd, _fused_mask_tm_bwd)
 
 
 def _fused_mask_fwd(Z, b, thresh_mult, slope, interpret):

@@ -210,8 +210,12 @@ def _resolve_method(method: str) -> str:
 # Public STFT / ISTFT
 # ---------------------------------------------------------------------------
 def stft(
-    x: jax.Array, cfg: StftConfig, method: str = "auto", time_major: bool = False
-) -> jax.Array:
+    x: jax.Array,
+    cfg: StftConfig,
+    method: str = "auto",
+    time_major: bool = False,
+    split: bool = False,
+):
     """Short-time Fourier transform.
 
     Args:
@@ -222,10 +226,14 @@ def stft(
         (..., n_bins, n_frames). The DFT produces time-major natively, so
         this skips a materialized transpose of the complex spectrogram —
         internal pipelines use it end-to-end (istft accepts it back).
+      split: return a (re, im) pair of real arrays instead of a complex
+        array. Internal pipelines use split form end-to-end, which avoids
+        materializing complex64 entirely (and sidesteps TPU runtimes where
+        complex graph parameters are unimplemented).
 
     Returns:
-      Complex spectrogram: (..., n_bins, n_frames), or time-major when
-      requested.
+      Complex spectrogram (..., n_bins, n_frames) / time-major, or the
+      (re, im) pair with ``split``.
     """
     method = _resolve_method(method)
     n_samples = x.shape[-1]
@@ -250,16 +258,22 @@ def stft(
         prec = jax.lax.Precision.HIGH
         re = jnp.matmul(frames, c, preferred_element_type=acc, precision=prec).astype(x.dtype)
         im = jnp.matmul(frames, s, preferred_element_type=acc, precision=prec).astype(x.dtype)
-        Z = jax.lax.complex(re, im)
     else:
-        Z = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+        Zc = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+        re, im = jnp.real(Zc), jnp.imag(Zc)
 
     if cfg.convention == Convention.SCIPY:
-        scale = 1.0 / float(_analysis_window_np(cfg).sum())
-        Z = Z * jnp.asarray(scale, dtype=Z.real.dtype)
-    if time_major:
-        return Z  # (..., n_frames, n_bins) — the DFT's native layout
-    return jnp.swapaxes(Z, -1, -2)  # (..., n_bins, n_frames)
+        scale = jnp.asarray(
+            1.0 / float(_analysis_window_np(cfg).sum()), dtype=re.dtype
+        )
+        re = re * scale
+        im = im * scale
+    if not time_major:
+        re = jnp.swapaxes(re, -1, -2)
+        im = jnp.swapaxes(im, -1, -2)
+    if split:
+        return re, im
+    return jax.lax.complex(re, im)
 
 
 @functools.lru_cache(maxsize=None)
@@ -291,7 +305,8 @@ def istft(
 
     Args:
       Z: complex spectrogram (..., n_bins, n_frames), or
-        (..., n_frames, n_bins) with ``time_major=True``.
+        (..., n_frames, n_bins) with ``time_major=True``, or a (re, im)
+        tuple of real arrays (split form — see ``stft(split=True)``).
       length: torch convention only — output length override (torch's
         ``length`` argument); defaults to (n_frames-1)*hop.
 
@@ -303,10 +318,16 @@ def istft(
     hop = cfg.hop_length
     frame_length = cfg.frame_length
     w_np = _analysis_window_np(cfg)
-    rdtype = Z.real.dtype
 
-    Zt = Z if time_major else jnp.swapaxes(Z, -1, -2)  # (..., n_frames, n_bins)
-    n_frames = Zt.shape[-2]
+    if isinstance(Z, tuple):
+        re_p, im_p = Z
+    else:
+        re_p, im_p = jnp.real(Z), jnp.imag(Z)
+    rdtype = re_p.dtype
+    if not time_major:
+        re_p = jnp.swapaxes(re_p, -1, -2)
+        im_p = jnp.swapaxes(im_p, -1, -2)
+    n_frames = re_p.shape[-2]
     if method == "matmul":
         ci, si = _irdft_matrices_np(cfg.n_fft, frame_length)
         ci = jnp.asarray(ci, dtype=rdtype)
@@ -314,11 +335,13 @@ def istft(
         acc = jnp.float32 if rdtype in (jnp.float32, jnp.bfloat16) else rdtype
         prec = jax.lax.Precision.HIGH
         frames = (
-            jnp.matmul(Zt.real, ci, preferred_element_type=acc, precision=prec)
-            + jnp.matmul(Zt.imag, si, preferred_element_type=acc, precision=prec)
+            jnp.matmul(re_p, ci, preferred_element_type=acc, precision=prec)
+            + jnp.matmul(im_p, si, preferred_element_type=acc, precision=prec)
         ).astype(rdtype)
     else:
-        frames = jnp.fft.irfft(Zt, n=cfg.n_fft, axis=-1)[..., :frame_length]
+        frames = jnp.fft.irfft(
+            jax.lax.complex(re_p, im_p), n=cfg.n_fft, axis=-1
+        )[..., :frame_length]
 
     window = jnp.asarray(w_np, dtype=rdtype)
     if cfg.convention == Convention.SCIPY:

@@ -94,3 +94,27 @@ def test_fused_mask_custom_vjp_value():
     got = np.asarray(fused_nonstationary_mask(jnp.asarray(Z), b, 2.0, 10.0, True))
     want = np.asarray(_jnp_mask(jnp.asarray(Z), b, 2.0, 10.0))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_tm_kernel_matches_jnp():
+    from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask_tm, _jnp_mask_impl_tm
+
+    b = iir_b_coefficient(2.0, 44100, 256)
+    for shape in [(2, 300, 513), (1, 2579, 513), (1, 130, 65)]:
+        re = RNG.standard_normal(shape).astype(np.float32)
+        im = RNG.standard_normal(shape).astype(np.float32)
+        got = np.asarray(
+            fused_nonstationary_mask_tm(jnp.asarray(re), jnp.asarray(im), b, 2.0, 10.0, True)
+        )
+        want = np.asarray(_jnp_mask_impl_tm(jnp.asarray(re), jnp.asarray(im), b, 2.0, 10.0))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_tm_kernel_differentiable():
+    from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask_tm
+
+    b = iir_b_coefficient(2.0, 44100, 256)
+    re = jnp.asarray(RNG.standard_normal((1, 140, 65)).astype(np.float32))
+    im = jnp.asarray(RNG.standard_normal((1, 140, 65)).astype(np.float32))
+    g = jax.grad(lambda r: jnp.sum(fused_nonstationary_mask_tm(r, im, b, 2.0, 10.0, True) ** 2))(re)
+    assert np.all(np.isfinite(np.asarray(g)))
