@@ -20,7 +20,7 @@ Extra TPU-native kwargs (all optional): ``compute_dtype``, ``method``
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

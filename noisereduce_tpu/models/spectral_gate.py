@@ -13,7 +13,7 @@ Per-path quirk parity (SURVEY.md §5.3):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

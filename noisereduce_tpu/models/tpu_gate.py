@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from noisereduce_tpu.config import Convention, GateConfig, StftConfig, smoothing_kernel_sizes
+from noisereduce_tpu.config import Convention, StftConfig, smoothing_kernel_sizes
 from noisereduce_tpu.ops import (
     amp_to_db,
     moving_average_same,
@@ -143,9 +143,9 @@ class TPUGate:
                 raise ValueError(f"xn must be bigger than {self.win_length * 2}")
 
         scfg = self.stft_config
-        # time-major internally: (batch, frames, bins), the DFT's native
-        # layout — avoids transposing the complex spectrogram twice
-        X = stft(x, scfg, method=method, time_major=True)
+        # time-major split-complex internally: (batch, frames, bins) re/im —
+        # the DFT's native layout, no complex64 materialization
+        re, im = stft(x, scfg, method=method, time_major=True, split=True)
 
         # Reference dtype quirk: the stationary path's mask is a BOOL tensor
         # and torch promotes ``bool * 1.0`` to float32 (torchgate.py:241), so
@@ -156,7 +156,7 @@ class TPUGate:
         # possible nor desirable on TPU.
         if self.nonstationary:
             mask = nonstationary_mask_torch(
-                jnp.abs(X),
+                jnp.sqrt(re * re + im * im),
                 self.n_movemean_nonstationary,
                 self.n_thresh_nonstationary,
                 self.temp_coeff_nonstationary,
@@ -166,10 +166,12 @@ class TPUGate:
             XN_db = None
             if xn is not None:
                 xn2 = xn if xn.ndim == 2 else xn[None]
-                XN = stft(xn2, scfg, method=method, time_major=True)
-                XN_db = amp_to_db(XN, top_db=40.0, axis=-2).astype(x.dtype)
+                rn, in_ = stft(xn2, scfg, method=method, time_major=True, split=True)
+                XN_db = amp_to_db(
+                    jnp.sqrt(rn * rn + in_ * in_), top_db=40.0, axis=-2
+                ).astype(x.dtype)
             mask = stationary_mask_torch(
-                amp_to_db(X, top_db=40.0, axis=-2),
+                amp_to_db(jnp.sqrt(re * re + im * im), top_db=40.0, axis=-2),
                 XN_db,
                 self.n_std_thresh_stationary,
                 time_axis=-2,
@@ -181,11 +183,11 @@ class TPUGate:
         if smoothing is not None:
             mask = smooth_mask_2d_torchgate(mask, *smoothing, time_major=True)
 
-        Y = X * mask.astype(X.dtype)
+        mask = mask.astype(re.dtype)
         # torch.istft without `length` returns (n_frames-1)*hop samples —
         # shorter than the input; the reference returns that natural length
         # (torchgate.py:255-264) and callers slice/zero-fill as needed.
-        y = istft(Y, scfg, method=method, time_major=True)
+        y = istft((re * mask, im * mask), scfg, method=method, time_major=True)
         return y.astype(x.dtype)
 
 

@@ -8,7 +8,7 @@ last one or two axes with arbitrary leading batch axes, so they compose with
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

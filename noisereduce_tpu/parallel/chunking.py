@@ -21,7 +21,7 @@ Everything is static-shaped: all signals pad up to n_chunks·chunk_size.
 """
 from __future__ import annotations
 
-import math
+
 from typing import Callable
 
 import jax
