@@ -2,11 +2,12 @@
 (noisereduce/noisereduce.py:13-185), executing as fused JAX/XLA graphs.
 
 Compatibility notes:
-  - ``n_jobs``, ``use_tqdm``, ``tmp_folder`` are accepted for drop-in
-    compatibility. Chunk parallelism here is a vmapped (optionally
-    mesh-sharded) axis inside one device launch, so they are no-ops —
-    except the reference's ``n_jobs != 1 with use_torch`` ValueError, which
-    is preserved.
+  - ``n_jobs`` and ``tmp_folder`` are accepted for drop-in compatibility.
+    Chunk parallelism here is a vmapped (optionally mesh-sharded) axis
+    inside one device launch, so they are no-ops — except the reference's
+    ``n_jobs != 1 with use_torch`` ValueError, which is preserved.
+    ``use_tqdm=True`` shows a real per-chunk-group progress bar by driving
+    the chunk loop from the host (reference base.py:211).
   - ``use_torch=True`` selects the torch-convention gate (TPUGate) — no
     torch dependency; ``device`` selects a JAX device ("tpu"/"cpu"/None).
   - The reference computes in float64 (spectralgate/base.py:140). Here the
@@ -20,6 +21,7 @@ Extra TPU-native kwargs (all optional): ``compute_dtype``, ``method``
 from __future__ import annotations
 
 import functools
+import warnings
 
 
 import jax
@@ -33,7 +35,11 @@ from noisereduce_tpu.models.spectral_gate import (
     stationary_noise_threshold,
 )
 from noisereduce_tpu.models.tpu_gate import TPUGate
-from noisereduce_tpu.parallel.chunking import process_chunked
+from noisereduce_tpu.parallel.chunking import (
+    assemble_chunks,
+    extract_chunks,
+    process_chunked,
+)
 
 __all__ = ["reduce_noise"]
 
@@ -106,6 +112,76 @@ def _run_torch_gate(
         call, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
         extra=extra, max_parallel_chunks=mpc,
     )
+
+
+# ---------------------------------------------------------------------------
+# host-driven chunk loop with a live progress bar (use_tqdm=True, chunked)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("chunk_size", "padding"))
+def _extract_chunks_jit(y2d, chunk_size, padding):
+    return extract_chunks(y2d, chunk_size, padding)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "method", "use_pallas")
+)
+def _group_nonstationary(chunks, cfg, method, use_pallas):
+    return gate_nonstationary(chunks, cfg, method=method, use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method"))
+def _group_stationary(chunks, thresh, cfg, method):
+    return gate_stationary(chunks, thresh, cfg, method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method"))
+def _noise_threshold_jit(y_noise_mono, cfg, method):
+    return stationary_noise_threshold(y_noise_mono, cfg, method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("gate", "method"))
+def _group_torch(chunks, xn, gate, method):
+    def one(chunk):  # (channels, view)
+        out = gate(chunk, xn, method=method)
+        deficit = chunk.shape[-1] - out.shape[-1]
+        if deficit:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
+        return out
+
+    return jax.vmap(one, in_axes=-2, out_axes=-2)(chunks)
+
+
+def _run_chunked_with_progress(
+    group_fn, y2d, chunk_size, padding, max_parallel_chunks
+):
+    """Host-driven chunk-group loop with a tqdm bar (reference base.py:211).
+
+    The fully-batched path is ONE device launch, so real progress requires
+    driving groups from the host: one compiled launch per group of
+    ``max_parallel_chunks`` chunks (1 if unset — the reference's sequential
+    n_jobs=1 granularity). Numerics match the batched path (same per-chunk
+    graph; chunks are independent).
+    """
+    from tqdm.auto import tqdm
+
+    n = y2d.shape[-1]
+    chunks = _extract_chunks_jit(y2d, chunk_size, padding)
+    n_chunks = chunks.shape[-2]
+    g = max_parallel_chunks if max_parallel_chunks else 1
+    outs = []
+    starts = range(0, n_chunks, g)
+    for s in tqdm(starts, total=len(starts), desc="chunks", unit="group"):
+        block = jax.lax.slice_in_dim(
+            chunks, s, min(s + g, n_chunks), axis=-2
+        )
+        k = block.shape[-2]
+        if k < g:  # pad the tail group so every launch shares one shape
+            block = jnp.pad(
+                block, [(0, 0)] * (block.ndim - 2) + [(0, g - k), (0, 0)]
+            )
+        outs.append(np.asarray(group_fn(block))[..., :k, :])
+    filtered = jnp.asarray(np.concatenate(outs, axis=-2))
+    return assemble_chunks(filtered, chunk_size, padding, n)
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +262,13 @@ def reduce_noise(
         use the torch-convention gate (TPUGate) — no torch dependency
     device : str or jax.Device, optional
         JAX device/platform to run on
-    tmp_folder, use_tqdm, n_jobs :
+    use_tqdm : bool
+        show a live progress bar over chunk groups (reference base.py:211).
+        On chunked in-memory signals this drives one device launch per
+        group of ``max_parallel_chunks`` chunks (1 if unset) from the host;
+        batched single-launch execution (the fastest path) has no
+        per-chunk progress to report. Ignored with ``mesh``.
+    tmp_folder, n_jobs :
         accepted for reference compatibility; chunk fan-out is an XLA
         array axis here, not a process pool
     compute_dtype, method, mesh, max_parallel_chunks :
@@ -197,7 +279,7 @@ def reduce_noise(
 
     Returns a NumPy array with the input's shape and dtype.
     """
-    del tmp_folder, use_tqdm  # chunk fan-out is an XLA axis, not processes
+    del tmp_folder  # chunk fan-out is an XLA axis, not a process pool
     if use_torch and n_jobs != 1:
         raise ValueError(
             "n_jobs must be 1 when using torch version of spectral gating."
@@ -217,20 +299,48 @@ def reduce_noise(
     y2d, flat = _as_2d(y)
     cdtype = compute_dtype or _default_compute_dtype()
     y2d = jnp.asarray(y2d, dtype=cdtype)
+    if compute_dtype is not None and y2d.dtype != jnp.dtype(compute_dtype):
+        # e.g. compute_dtype=float64 with jax x64 disabled silently realizes
+        # as float32 — surface it instead of returning f32 to a parity-minded
+        # caller (ADVICE r1).
+        warnings.warn(
+            f"requested compute_dtype={jnp.dtype(compute_dtype).name} but JAX "
+            f"realized {y2d.dtype.name} (enable jax_enable_x64 for float64)",
+            stacklevel=2,
+        )
 
     use_pallas = "auto"
     if device is not None:
-        dev = jax.devices(device)[0] if isinstance(device, str) else device
-        y2d = jax.device_put(y2d, dev)
-        # the fused Mosaic kernel is TPU-only; an explicit non-TPU device
-        # must take the jnp path even when the default backend is a TPU
-        if not (
-            dev.platform == "tpu"
-            or "TPU" in getattr(dev, "device_kind", "").upper()
-        ):
-            use_pallas = False
+        if isinstance(device, str):
+            try:
+                dev = jax.devices(device)[0]
+            except RuntimeError:
+                # reference parity: its torch path defaults to device="cuda"
+                # and silently falls back when CUDA is absent
+                # (streamed_torch_gate.py:53). We fall back to the default
+                # device, with a notice.
+                warnings.warn(
+                    f"device={device!r} is unavailable; falling back to the "
+                    f"default JAX device ({jax.devices()[0].platform})",
+                    stacklevel=2,
+                )
+                dev = None
+        else:
+            dev = device
+        if dev is not None:
+            y2d = jax.device_put(y2d, dev)
+            # the fused Mosaic kernel is TPU-only; an explicit non-TPU device
+            # must take the jnp path even when the default backend is a TPU
+            if not (
+                dev.platform == "tpu"
+                or "TPU" in getattr(dev, "device_kind", "").upper()
+            ):
+                use_pallas = False
 
     axis_name = mesh.axis_names[0] if mesh is not None else "chunks"
+    # live tqdm needs host-driven group launches; the mesh path stays one
+    # sharded launch (progress there would serialize devices)
+    progress = bool(use_tqdm) and y2d.shape[-1] > chunk_size and mesh is None
 
     if use_torch:
         out = _reduce_noise_torch_path(
@@ -256,6 +366,7 @@ def reduce_noise(
             mesh,
             axis_name,
             max_parallel_chunks,
+            progress,
         )
     elif stationary:
         cfg = GateConfig(
@@ -282,10 +393,17 @@ def reduce_noise(
         yn_mono = jnp.mean(yn2d, axis=0)
         if clip_noise_stationary:
             yn_mono = yn_mono[:chunk_size]
-        out = _run_stationary(
-            y2d, yn_mono, cfg, chunk_size, padding, method, mesh, axis_name,
-            max_parallel_chunks,
-        )
+        if progress:
+            thresh = _noise_threshold_jit(yn_mono, cfg, method)
+            out = _run_chunked_with_progress(
+                lambda blk: _group_stationary(blk, thresh, cfg, method),
+                y2d, chunk_size, padding, max_parallel_chunks,
+            )
+        else:
+            out = _run_stationary(
+                y2d, yn_mono, cfg, chunk_size, padding, method, mesh,
+                axis_name, max_parallel_chunks,
+            )
     else:
         cfg = GateConfig(
             sr=sr,
@@ -301,10 +419,16 @@ def reduce_noise(
             hop_length=hop_length,
             convention=Convention.SCIPY,
         )
-        out = _run_nonstationary(
-            y2d, cfg, chunk_size, padding, method, mesh, axis_name,
-            max_parallel_chunks, use_pallas,
-        )
+        if progress:
+            out = _run_chunked_with_progress(
+                lambda blk: _group_nonstationary(blk, cfg, method, use_pallas),
+                y2d, chunk_size, padding, max_parallel_chunks,
+            )
+        else:
+            out = _run_nonstationary(
+                y2d, cfg, chunk_size, padding, method, mesh, axis_name,
+                max_parallel_chunks, use_pallas,
+            )
 
     out = np.asarray(out).astype(out_dtype)
     return out.flatten() if flat else out
@@ -333,6 +457,7 @@ def _reduce_noise_torch_path(
     mesh=None,
     axis_name="chunks",
     max_parallel_chunks=0,
+    progress=False,
 ):
     """StreamedTorchGate-equivalent dispatch (streamed_torch_gate.py:12-87):
     parameter mapping temp_coeff = 1/slope, n_movemean = time_constant·sr/hop;
@@ -364,6 +489,11 @@ def _reduce_noise_torch_path(
         if yn.ndim == 1:
             yn = yn[None, :]
         yn = jnp.asarray(yn, dtype=cdtype)
+    if progress:
+        return _run_chunked_with_progress(
+            lambda blk: _group_torch(blk, yn, gate, method),
+            y2d, chunk_size, padding, max_parallel_chunks,
+        )
     return _run_torch_gate(
         y2d, yn, gate, chunk_size, padding, method, mesh, axis_name,
         max_parallel_chunks,

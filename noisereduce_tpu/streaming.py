@@ -26,6 +26,7 @@ from noisereduce_tpu.models.spectral_gate import (
     gate_stationary,
     stationary_noise_threshold,
 )
+from noisereduce_tpu.parallel.chunking import shard_filter
 from noisereduce_tpu.utils import io as nrio
 
 __all__ = ["reduce_noise_file"]
@@ -55,6 +56,44 @@ def _chunk_torch(chunk, xn, gate, method):
     return out
 
 
+# sharded twins: filter a (channels, n_dev·k, view) chunk batch over a mesh
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "method", "mesh", "axis_name")
+)
+def _batch_nonstationary_sharded(batch, cfg, method, mesh, axis_name):
+    return shard_filter(
+        lambda c: gate_nonstationary(c, cfg, method=method),
+        batch, mesh, axis_name,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "method", "mesh", "axis_name")
+)
+def _batch_stationary_sharded(batch, thresh, cfg, method, mesh, axis_name):
+    return shard_filter(
+        lambda c, t: gate_stationary(c, t, cfg, method=method),
+        batch, mesh, axis_name, extra=(thresh,),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gate", "method", "mesh", "axis_name")
+)
+def _batch_torch_sharded(batch, xn, gate, method, mesh, axis_name):
+    def per_chunk(chunks):  # local (channels, k, view)
+        def one(chunk):
+            out = gate(chunk, xn, method=method)
+            deficit = chunk.shape[-1] - out.shape[-1]
+            if deficit:
+                out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
+            return out
+
+        return jax.vmap(one, in_axes=-2, out_axes=-2)(chunks)
+
+    return shard_filter(per_chunk, batch, mesh, axis_name)
+
+
 def reduce_noise_file(
     in_path: str,
     out_path: str,
@@ -77,6 +116,7 @@ def reduce_noise_file(
     as_float: bool = False,
     use_tqdm: bool = False,
     use_torch: bool = False,
+    mesh=None,
 ) -> int:
     """Denoise a WAV file into another WAV file, streaming chunk by chunk.
 
@@ -88,6 +128,12 @@ def reduce_noise_file(
 
     ``use_torch`` selects the torch-convention gate (TPUGate), mirroring
     ``reduce_noise(use_torch=True)``.
+
+    ``mesh`` (a ``jax.sharding.Mesh``): chunks stream from disk in groups
+    of ``mesh.shape[axis]`` and each sharded launch filters one chunk per
+    device — hours-long recordings use every chip at constant host memory.
+    Output is identical to the single-device stream (chunks are
+    independent; halo recompute).
     """
     sr, _, n_frames_in = nrio.wav_info(in_path)
     cfg = GateConfig(
@@ -173,6 +219,44 @@ def reduce_noise_file(
 
         n_chunks = (n_frames_in - 1) // chunk_size + 1
         chunks_iter = tqdm(chunks_iter, total=n_chunks)
+
+    if mesh is not None:
+        axis_name = mesh.axis_names[0]
+        n_dev = mesh.shape[axis_name]
+
+        def _filter_batch(batch):  # (channels, k, view) -> same
+            if use_torch:
+                return _batch_torch_sharded(
+                    batch, xn_t, gate_t, method, mesh, axis_name
+                )
+            if stationary:
+                return _batch_stationary_sharded(
+                    batch, thresh, cfg, method, mesh, axis_name
+                )
+            return _batch_nonstationary_sharded(
+                batch, cfg, method, mesh, axis_name
+            )
+
+        pending = []
+
+        def _flush():
+            k = len(pending)
+            batch = jnp.asarray(np.stack(pending, axis=1))
+            # shard_filter zero-pads a short tail group up to the mesh size
+            out = _filter_batch(batch)
+            core = np.asarray(out[..., padding : padding + chunk_size])
+            for j in range(k):  # stream cores to disk in order
+                writer.write(core[:, j, :].T)
+            pending.clear()
+
+        for _, chunk in chunks_iter:
+            pending.append(chunk)
+            if len(pending) == n_dev:
+                _flush()
+        if pending:
+            _flush()
+        writer.close()
+        return n_frames_in
 
     for _, chunk in chunks_iter:
         x = jnp.asarray(chunk)  # (channels, view) float32
