@@ -34,11 +34,16 @@ struct WavInfo {
 bool parse_wav_header(FILE* f, WavInfo* info) {
   char tag[4];
   uint32_t riff_size;
-  if (fread(tag, 1, 4, f) != 4 || memcmp(tag, "RIFF", 4) != 0) return false;
+  if (fread(tag, 1, 4, f) != 4) return false;
+  // RF64 (EBU Tech 3306): 64-bit sizes live in a ds64 chunk; the 32-bit
+  // RIFF/data size fields are 0xFFFFFFFF placeholders.
+  const bool rf64 = memcmp(tag, "RF64", 4) == 0;
+  if (!rf64 && memcmp(tag, "RIFF", 4) != 0) return false;
   if (fread(&riff_size, 4, 1, f) != 1) return false;
   if (fread(tag, 1, 4, f) != 4 || memcmp(tag, "WAVE", 4) != 0) return false;
 
   bool have_fmt = false;
+  uint64_t ds64_data_bytes = 0;
   while (true) {
     uint32_t chunk_size;
     if (fread(tag, 1, 4, f) != 4) break;
@@ -63,18 +68,29 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
         uint8_t guid[16];
         if (fread(guid, 1, 16, f) != 16) return false;
         fmt = guid[0] | (guid[1] << 8);
-        fseek(f, (long)chunk_size - 40, SEEK_CUR);
+        // odd-sized chunks carry a pad byte, like the generic skip below
+        fseek(f, (long)(chunk_size - 40 + (chunk_size & 1)), SEEK_CUR);
       } else {
-        fseek(f, (long)chunk_size - 16, SEEK_CUR);
+        fseek(f, (long)(chunk_size - 16 + (chunk_size & 1)), SEEK_CUR);
       }
       info->format = fmt;
       info->channels = ch;
       info->sample_rate = rate;
       info->bits_per_sample = bits;
       have_fmt = true;
+    } else if (memcmp(tag, "ds64", 4) == 0) {
+      if (chunk_size < 24) return false;
+      uint64_t riff64, data64, samples64;
+      if (fread(&riff64, 8, 1, f) != 1) return false;
+      if (fread(&data64, 8, 1, f) != 1) return false;
+      if (fread(&samples64, 8, 1, f) != 1) return false;
+      ds64_data_bytes = data64;
+      fseek(f, (long)(chunk_size - 24 + (chunk_size & 1)), SEEK_CUR);
     } else if (memcmp(tag, "data", 4) == 0) {
       info->data_offset = (uint64_t)ftell(f);
-      info->data_bytes = chunk_size;
+      info->data_bytes = (rf64 && chunk_size == 0xFFFFFFFFu)
+                             ? ds64_data_bytes
+                             : (uint64_t)chunk_size;
       if (!have_fmt) return false;
       uint32_t bytes_per_frame =
           (uint32_t)info->channels * (info->bits_per_sample / 8);
@@ -198,13 +214,19 @@ NRIO_API int64_t nrio_wav_read_i16(const char* path, int16_t* dst,
 NRIO_API int nrio_wav_write(const char* path, const float* src,
                             int64_t frames, int32_t channels,
                             int32_t sample_rate, int32_t as_float) {
-  FILE* f = fopen(path, "wb");
-  if (!f) return -1;
   const uint16_t fmt = as_float ? 3 : 1;
   const uint16_t bits = as_float ? 32 : 16;
+  // Classic RIFF carries 32-bit sizes; anything larger would silently
+  // truncate to a corrupt header. Refuse (rc=-2) — large streamed outputs
+  // go through the Python WavWriter, which switches to RF64.
+  const uint64_t data_bytes64 =
+      (uint64_t)frames * (uint64_t)channels * (bits / 8);
+  if (data_bytes64 > 0xFFFFFFFFull - 36) return -2;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
   const uint32_t byte_rate = (uint32_t)sample_rate * channels * (bits / 8);
   const uint16_t block_align = (uint16_t)(channels * (bits / 8));
-  const uint32_t data_bytes = (uint32_t)(frames * channels * (bits / 8));
+  const uint32_t data_bytes = (uint32_t)data_bytes64;
   const uint32_t riff = 36 + data_bytes;
 
   fwrite("RIFF", 1, 4, f);

@@ -23,7 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stationary", action="store_true",
                    help="stationary gating (default: non-stationary)")
     p.add_argument("--noise", metavar="WAV",
-                   help="noise clip WAV for stationary statistics")
+                   help="noise clip WAV for stationary statistics; implies "
+                        "--stationary (the non-stationary gate estimates its "
+                        "own floor and ignores a noise clip)")
     p.add_argument("--prop-decrease", type=float, default=1.0)
     p.add_argument("--time-constant-s", type=float, default=2.0)
     p.add_argument("--freq-mask-smooth-hz", type=float, default=500)
@@ -66,6 +68,12 @@ def main(argv=None) -> int:
         _, y_noise = nrio.read_wav(args.noise, dtype="float32")
         if y_noise.ndim == 2:
             y_noise = y_noise.T
+        if not args.stationary and not args.quiet:
+            print(
+                "note: --noise implies --stationary (the non-stationary "
+                "gate ignores a noise clip)",
+                file=sys.stderr,
+            )
 
     t0 = time.perf_counter()
     frames = reduce_noise_file(

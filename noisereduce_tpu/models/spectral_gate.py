@@ -46,6 +46,40 @@ def _tpu_available() -> bool:
     return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "").upper()
 
 
+def _pallas_decision(use_pallas, dtype, n_frames: int) -> bool:
+    """Whether the fused Mosaic mask kernel should run.
+
+    The kernel keeps the whole frame axis resident in VMEM, so the frame
+    count is bounded by the actual VMEM budget
+    (ops.pallas_mask.max_frames_for_vmem — derived, not a magic number).
+    ``use_pallas=True`` past the budget falls back to the jnp path with a
+    warning instead of failing at Mosaic compile/runtime.
+    """
+    if use_pallas is False:
+        return False
+    from noisereduce_tpu.ops.pallas_mask import max_frames_for_vmem
+
+    budget = max_frames_for_vmem()
+    if use_pallas is True:
+        if n_frames > budget:
+            import warnings
+
+            warnings.warn(
+                f"use_pallas=True but {n_frames} frames exceed the fused "
+                f"kernel's VMEM budget ({budget} frames); falling back to "
+                "the jnp path (chunk the signal to stay under the budget)",
+                stacklevel=3,
+            )
+            return False
+        return True
+    return (
+        use_pallas == "auto"
+        and _tpu_available()
+        and dtype == jnp.float32
+        and n_frames <= budget
+    )
+
+
 def _apply_mask_and_invert(
     Z, mask: jax.Array, cfg: GateConfig, n_samples: int, method: str
 ) -> jax.Array:
@@ -122,16 +156,7 @@ def gate_nonstationary(
     """
     n_samples = chunk.shape[-1]
     re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
-    # VMEM budget: the kernel keeps the whole frame axis resident
-    # (2 scratch + re + im + out tiles of (t_pad, 128) f32, double-buffered);
-    # past ~6k frames it no longer fits and the jnp path takes over.
-    n_frames = re.shape[-2]
-    pallas_ok = use_pallas is True or (
-        use_pallas == "auto"
-        and _tpu_available()
-        and re.dtype == jnp.float32
-        and n_frames <= 6000
-    )
+    pallas_ok = _pallas_decision(use_pallas, re.dtype, re.shape[-2])
     if pallas_ok:
         from noisereduce_tpu.ops.pallas_mask import fused_nonstationary_mask_tm
 

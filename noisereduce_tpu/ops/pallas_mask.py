@@ -31,10 +31,37 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_nonstationary_mask", "fused_nonstationary_mask_tm"]
+__all__ = [
+    "fused_nonstationary_mask",
+    "fused_nonstationary_mask_tm",
+    "max_frames_for_vmem",
+]
 
 _BT = 128       # time block (MXU contraction size)
 _FT = 128       # frequency tile (sublane-major rows)
+
+# Per-core VMEM on TPU v4/v5 generations; 5% margin for Mosaic's own
+# bookkeeping. If a future part changes this, override via env.
+_VMEM_BYTES = int(
+    float(__import__("os").environ.get("NRTPU_VMEM_BYTES", 16 * 1024 * 1024))
+)
+_VMEM_SAFETY = 0.95
+
+
+def max_frames_for_vmem() -> int:
+    """Largest padded frame count whose kernel working set fits in VMEM.
+
+    The time-major kernel keeps the whole frame axis resident per grid cell:
+    three (t_pad, _FT) f32 tiles stream through the grid (re, im, mask) and
+    two more are scratch (magnitude, forward-IIR result) — 5 planes of
+    t_pad·128·4 bytes — plus four (_BT, _BT) constant operands. Solving
+    5·512·t_pad + const ≤ 0.95·VMEM gives the bound (≈6.0k frames on a
+    16 MiB-VMEM core, matching the empirically validated round-1 gate).
+    """
+    const = 4 * _BT * _BT * 4
+    per_frame = 5 * _FT * 4
+    t_max = int((_VMEM_BYTES * _VMEM_SAFETY - const) // per_frame)
+    return (t_max // _BT) * _BT
 
 
 @functools.lru_cache(maxsize=None)
@@ -148,6 +175,12 @@ def fused_nonstationary_mask(
     Differentiable: under grad/vjp the value and gradient come from the jnp
     composition (custom_vjp — Mosaic kernels have no autodiff rule); the
     fused kernel runs on the inference path.
+
+    Intentional divergence on degenerate input: where the IIR floor is
+    exactly 0 (an all-zero run of frames — silence), the kernel substitutes
+    a safe divisor and yields a finite mask, while the jnp path and the
+    reference produce NaN from the 0/0 ratio. Finite-on-silence is the
+    better behavior; parity holds on any non-degenerate signal.
     """
     return _fused_mask_cvjp(Z, b, thresh_mult, slope, interpret)
 
@@ -290,7 +323,8 @@ def fused_nonstationary_mask_tm(
     """Time-major split-complex fused mask: (re, im) (..., T, F) float32 →
     float32 mask (..., T, F). Same math as ``fused_nonstationary_mask`` with
     |Z| fused in and no layout changes around the kernel. Differentiable
-    via custom_vjp (jnp twin under grad)."""
+    via custom_vjp (jnp twin under grad). Shares the safe-divide-on-silence
+    divergence documented on ``fused_nonstationary_mask``."""
     return _fused_mask_tm_cvjp(re, im, b, thresh_mult, slope, interpret)
 
 

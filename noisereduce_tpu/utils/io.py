@@ -75,12 +75,24 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _reject_rf64_without_native(path: str) -> None:
+    """scipy's reader is RIFF-only; fail RF64 clearly, not with a scipy
+    parse error deep inside wavfile."""
+    with open(path, "rb") as fh:
+        if fh.read(4) == b"RF64":
+            raise IOError(
+                f"{path!r} is an RF64 (>4 GiB) WAV; reading it requires the "
+                "native nrio runtime (build with `make -C native`)"
+            )
+
+
 def wav_info(path: str) -> Tuple[int, int, int]:
     """(sample_rate, channels, n_frames) without reading sample data."""
     lib = _load()
     if lib is None:
         from scipy.io import wavfile
 
+        _reject_rf64_without_native(path)
         rate, data = wavfile.read(path, mmap=True)
         ch = 1 if data.ndim == 1 else data.shape[1]
         return rate, ch, data.shape[0]
@@ -103,6 +115,7 @@ def read_wav(
     if lib is None:
         from scipy.io import wavfile
 
+        _reject_rf64_without_native(path)
         rate, data = wavfile.read(path)
         if frames >= 0 or start:
             end = None if frames < 0 else start + frames
@@ -159,6 +172,12 @@ def write_wav(path: str, data: np.ndarray, sr: int, as_float: bool = False) -> N
         frames, channels = len(data), 1
     else:
         frames, channels = data.shape
+    if frames * channels * (4 if as_float else 2) > _RIFF_DATA_MAX:
+        # beyond the 32-bit RIFF limit: stream through the RF64-capable
+        # incremental writer (scipy and the native fast path are RIFF-only)
+        with WavWriter(path, sr, channels, frames, as_float=as_float) as w:
+            w.write(data if data.ndim == 2 else data[:, None])
+        return
     lib = _load()
     if lib is None:
         from scipy.io import wavfile
@@ -177,10 +196,19 @@ def write_wav(path: str, data: np.ndarray, sr: int, as_float: bool = False) -> N
         raise IOError(f"nrio: write failed (rc={rc})")
 
 
+# Largest data payload a classic 32-bit RIFF header can describe.
+_RIFF_DATA_MAX = 0xFFFFFFFF - 36
+
+
 class WavWriter:
     """Incremental WAV writer (PCM16 or IEEE float32) for streaming output
     at constant host memory: write the header with the final frame count up
     front, then append frames as they are produced.
+
+    Outputs larger than the 32-bit RIFF limit (>4 GiB data — ≈6 h of stereo
+    float32 at 48 kHz) automatically use an RF64 header (EBU Tech 3306:
+    64-bit sizes in a ``ds64`` chunk), instead of silently overflowing the
+    32-bit size fields (VERDICT/ADVICE r1).
 
     Usage::
 
@@ -191,27 +219,50 @@ class WavWriter:
 
     def __init__(self, path: str, sr: int, channels: int, n_frames: int,
                  as_float: bool = False):
-        import struct
-
         self._as_float = as_float
-        bits = 32 if as_float else 16
-        fmt = 3 if as_float else 1
-        data_bytes = n_frames * channels * (bits // 8)
         self._expected = n_frames
         self._written = 0
         self._channels = channels
         self._f = open(path, "wb")
-        self._f.write(b"RIFF")
-        self._f.write(struct.pack("<I", 36 + data_bytes))
-        self._f.write(b"WAVEfmt ")
-        self._f.write(
-            struct.pack(
-                "<IHHIIHH", 16, fmt, channels, sr,
-                sr * channels * (bits // 8), channels * (bits // 8), bits,
-            )
+        self._f.write(self.header_bytes(sr, channels, n_frames, as_float))
+
+    @staticmethod
+    def header_bytes(sr: int, channels: int, n_frames: int,
+                     as_float: bool = False) -> bytes:
+        """Complete pre-data header (RIFF, or RF64 past the 4 GiB limit).
+
+        Pure function of the geometry — unit-testable for multi-terabyte
+        frame counts without writing any sample data.
+        """
+        import struct
+
+        bits = 32 if as_float else 16
+        fmt = 3 if as_float else 1
+        data_bytes = n_frames * channels * (bits // 8)
+        fmt_chunk = struct.pack(
+            "<IHHIIHH", 16, fmt, channels, sr,
+            sr * channels * (bits // 8), channels * (bits // 8), bits,
         )
-        self._f.write(b"data")
-        self._f.write(struct.pack("<I", data_bytes))
+        if data_bytes <= _RIFF_DATA_MAX:
+            return (
+                b"RIFF" + struct.pack("<I", 36 + data_bytes)
+                + b"WAVEfmt " + fmt_chunk
+                + b"data" + struct.pack("<I", data_bytes)
+            )
+        # RF64: 32-bit size fields hold 0xFFFFFFFF placeholders; true sizes
+        # live in the ds64 chunk. riff64 counts everything after the 8-byte
+        # RF64 header: WAVE(4) + ds64(8+28) + fmt(8+16) + data hdr(8) + data.
+        riff64 = 4 + 36 + 24 + 8 + data_bytes
+        ds64 = struct.pack(
+            "<QQQI", riff64, data_bytes, n_frames, 0  # sizes + empty table
+        )
+        return (
+            b"RF64" + struct.pack("<I", 0xFFFFFFFF)
+            + b"WAVE"
+            + b"ds64" + struct.pack("<I", 28) + ds64
+            + b"fmt " + fmt_chunk
+            + b"data" + struct.pack("<I", 0xFFFFFFFF)
+        )
 
     def write(self, block) -> None:
         block = np.asarray(block, dtype=np.float32)

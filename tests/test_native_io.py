@@ -92,3 +92,119 @@ def test_stream_fallback_matches_native():
     assert sorted(native) == sorted(fallback)
     for k in native:
         np.testing.assert_allclose(native[k], fallback[k], atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# >4 GiB outputs: RF64 headers instead of silent 32-bit overflow
+# (VERDICT r1 item 9, ADVICE r1)
+# ---------------------------------------------------------------------------
+def test_header_bytes_riff_small():
+    h = nrio.WavWriter.header_bytes(48000, 2, 1000, as_float=True)
+    assert h[:4] == b"RIFF"
+    import struct
+    data_bytes = struct.unpack("<I", h[-4:])[0]
+    assert data_bytes == 1000 * 2 * 4
+
+
+def test_header_bytes_rf64_giant():
+    """≈8 h stereo float32 @48 kHz: > 4 GiB — must emit RF64 with true
+    64-bit sizes in ds64 (no truncation)."""
+    import struct
+
+    n_frames = 48000 * 3600 * 8
+    data_bytes = n_frames * 2 * 4
+    assert data_bytes > 0xFFFFFFFF
+    h = nrio.WavWriter.header_bytes(48000, 2, n_frames, as_float=True)
+    assert h[:4] == b"RF64"
+    assert struct.unpack("<I", h[4:8])[0] == 0xFFFFFFFF  # placeholder
+    assert h[8:12] == b"WAVE" and h[12:16] == b"ds64"
+    riff64, data64, frames64 = struct.unpack("<QQQ", h[20:44])
+    assert data64 == data_bytes
+    assert frames64 == n_frames
+    assert riff64 == 4 + 36 + 24 + 8 + data_bytes
+    # data chunk size is the 0xFFFFFFFF placeholder
+    assert h[-8:-4] == b"data"
+    assert struct.unpack("<I", h[-4:])[0] == 0xFFFFFFFF
+
+
+def test_native_writer_refuses_giant_riff(tmp_path):
+    """nrio_wav_write must return -2 (not truncate) past the RIFF limit.
+    The size check precedes any buffer access, so a tiny dummy src is safe."""
+    if not nrio.native_available():
+        pytest.skip("native lib required")
+    import ctypes
+
+    lib = nrio._load()
+    dummy = np.zeros(8, np.float32)
+    rc = lib.nrio_wav_write(
+        str(tmp_path / "x.wav").encode(),
+        dummy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        2**31, 2, 48000, 1,
+    )
+    assert rc == -2
+
+
+def test_native_reads_rf64(tmp_path):
+    """A hand-built tiny RF64 file (RF64 magic + ds64 sizes + 0xFFFFFFFF
+    placeholders) must parse via the native reader."""
+    if not nrio.native_available():
+        pytest.skip("native lib required")
+    import struct
+
+    n = 100
+    payload = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    data_bytes = n * 4
+    fmt_chunk = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 8000 * 4, 4, 32)
+    blob = (
+        b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"ds64" + struct.pack("<I", 28)
+        + struct.pack("<QQQI", 4 + 36 + 24 + 8 + data_bytes, data_bytes, n, 0)
+        + b"fmt " + fmt_chunk
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+        + payload.tobytes()
+    )
+    p = str(tmp_path / "tiny_rf64.wav")
+    with open(p, "wb") as f:
+        f.write(blob)
+    sr, ch, frames = nrio.wav_info(p)
+    assert (sr, ch, frames) == (8000, 1, n)
+    _, got = nrio.read_wav(p, dtype="float32")
+    np.testing.assert_array_equal(got, payload)
+
+
+def test_fallback_reader_rejects_rf64_clearly(tmp_path):
+    p = str(tmp_path / "r.wav")
+    with open(p, "wb") as f:
+        f.write(b"RF64" + b"\x00" * 64)
+    real_load = nrio._load
+    nrio._lib = None
+    try:
+        nrio._load = lambda: None
+        with pytest.raises(IOError, match="RF64"):
+            nrio.read_wav(p)
+    finally:
+        nrio._load = real_load
+        nrio._lib = None
+
+
+def test_native_parses_odd_sized_fmt_chunk(tmp_path):
+    """Nonstandard odd-length fmt chunk: the pad byte must be skipped so the
+    following data chunk still parses (ADVICE r1)."""
+    if not nrio.native_available():
+        pytest.skip("native lib required")
+    import struct
+
+    payload = np.arange(10, dtype=np.int16)
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x07"
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 18 + 8 + 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 17) + fmt_body + b"\x00"  # pad byte
+        + b"data" + struct.pack("<I", 20) + payload.tobytes()
+    )
+    p = str(tmp_path / "oddfmt.wav")
+    with open(p, "wb") as f:
+        f.write(blob)
+    sr, ch, frames = nrio.wav_info(p)
+    assert (sr, ch, frames) == (8000, 1, 10)
+    _, got = nrio.read_wav(p, dtype="int16")
+    np.testing.assert_array_equal(got, payload)

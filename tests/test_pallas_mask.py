@@ -118,3 +118,34 @@ def test_tm_kernel_differentiable():
     im = jnp.asarray(RNG.standard_normal((1, 140, 65)).astype(np.float32))
     g = jax.grad(lambda r: jnp.sum(fused_nonstationary_mask_tm(r, im, b, 2.0, 10.0, True) ** 2))(re)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------------------
+# VMEM budget gate (VERDICT r1 item 7): derived bound + explicit-True fallback
+# ---------------------------------------------------------------------------
+def test_vmem_budget_is_derived_and_sane():
+    from noisereduce_tpu.ops.pallas_mask import max_frames_for_vmem
+
+    b = max_frames_for_vmem()
+    assert b % 128 == 0
+    # 16 MiB core, 5 resident planes -> ~6k frames (round-1 empirical gate)
+    assert 5000 <= b <= 6400
+
+
+def test_pallas_decision_boundary():
+    import warnings
+
+    import jax.numpy as jnp
+
+    from noisereduce_tpu.models.spectral_gate import _pallas_decision
+    from noisereduce_tpu.ops.pallas_mask import max_frames_for_vmem
+
+    b = max_frames_for_vmem()
+    assert _pallas_decision(False, jnp.float32, 100) is False
+    assert _pallas_decision(True, jnp.float32, b) is True
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _pallas_decision(True, jnp.float32, b + 1) is False
+    assert any("VMEM budget" in str(x.message) for x in w)
+    # auto on CPU stays off regardless of size
+    assert _pallas_decision("auto", jnp.float32, 100) is False
