@@ -46,6 +46,19 @@ def _tpu_available() -> bool:
     return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "").upper()
 
 
+def _mask_dtype(dtype):
+    """Dtype for the mask-decision math.
+
+    bfloat16 (the opt-in fast mode) keeps the HBM-heavy spectrogram arrays
+    half-width but computes the gating decisions — dB statistics, threshold
+    compares, IIR floor, sigmoid — in float32: bf16's ~3 significant digits
+    bias the noise statistics and flip threshold compares, costing ~13%
+    output deviation, while the upcast fuses into the producing pass (reads
+    stay bf16). See tests/test_bfloat16_mode.py for the pinned envelope.
+    """
+    return jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+
 def _pallas_decision(use_pallas, dtype, n_frames: int) -> bool:
     """Whether the fused Mosaic mask kernel should run.
 
@@ -72,10 +85,11 @@ def _pallas_decision(use_pallas, dtype, n_frames: int) -> bool:
             )
             return False
         return True
+    # bf16 is accepted: the kernel upcasts its operands and computes in f32
     return (
         use_pallas == "auto"
         and _tpu_available()
-        and dtype == jnp.float32
+        and dtype in (jnp.float32, jnp.bfloat16)
         and n_frames <= budget
     )
 
@@ -109,6 +123,8 @@ def stationary_noise_threshold(
     (stationary.py:67-81; np.std ddof=0).
     """
     re, im = stft(y_noise, cfg.stft, method=method, time_major=True, split=True)
+    ddt = _mask_dtype(re.dtype)
+    re, im = re.astype(ddt), im.astype(ddt)
     Zn_db = amp_to_db(jnp.sqrt(re * re + im * im), top_db=80.0, axis=-2)
     mean = jnp.mean(Zn_db, axis=-2)
     std = jnp.std(Zn_db, axis=-2)  # ddof=0, matching np.std
@@ -128,9 +144,13 @@ def gate_stationary(
     """
     n_samples = chunk.shape[-1]
     re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
-    Z_db = amp_to_db(jnp.sqrt(re * re + im * im), top_db=80.0, axis=-2)
+    ddt = _mask_dtype(re.dtype)
+    Z_db = amp_to_db(
+        jnp.sqrt(re.astype(ddt) ** 2 + im.astype(ddt) ** 2),
+        top_db=80.0, axis=-2,
+    )
     # mask where the signal rises above the per-frequency noise threshold
-    mask = (Z_db > noise_thresh).astype(Z_db.dtype)
+    mask = (Z_db > noise_thresh.astype(ddt)).astype(ddt)
     # prop_decrease blend FIRST (stationary-path order)
     mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
     smoothing = cfg.smoothing
@@ -168,7 +188,8 @@ def gate_nonstationary(
             cfg.sigmoid_slope_nonstationary,
         )
     else:
-        mag = jnp.sqrt(re * re + im * im)
+        ddt = _mask_dtype(re.dtype)
+        mag = jnp.sqrt(re.astype(ddt) ** 2 + im.astype(ddt) ** 2)
         # time-smoothed noise floor: zero-phase first-order IIR per
         # frequency, along the frame axis (nonstationary.py:106-115)
         floor = ewma_filtfilt(mag, cfg.iir_b, axis=-2)

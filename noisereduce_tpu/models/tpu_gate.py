@@ -154,9 +154,13 @@ class TPUGate:
         # agree to torch's own f32-conv accumulation noise, ~2e-7 on the
         # mask) — bit-matching oneDNN's f32 accumulation order is neither
         # possible nor desirable on TPU.
+        # bf16 fast mode: spectrogram storage stays bf16, mask-decision math
+        # upcasts to f32 (see models/spectral_gate._mask_dtype)
+        ddt = jnp.float32 if re.dtype == jnp.bfloat16 else re.dtype
+        mag = jnp.sqrt(re.astype(ddt) ** 2 + im.astype(ddt) ** 2)
         if self.nonstationary:
             mask = nonstationary_mask_torch(
-                jnp.sqrt(re * re + im * im),
+                mag,
                 self.n_movemean_nonstationary,
                 self.n_thresh_nonstationary,
                 self.temp_coeff_nonstationary,
@@ -168,10 +172,11 @@ class TPUGate:
                 xn2 = xn if xn.ndim == 2 else xn[None]
                 rn, in_ = stft(xn2, scfg, method=method, time_major=True, split=True)
                 XN_db = amp_to_db(
-                    jnp.sqrt(rn * rn + in_ * in_), top_db=40.0, axis=-2
-                ).astype(x.dtype)
+                    jnp.sqrt(rn.astype(ddt) ** 2 + in_.astype(ddt) ** 2),
+                    top_db=40.0, axis=-2,
+                )
             mask = stationary_mask_torch(
-                amp_to_db(jnp.sqrt(re * re + im * im), top_db=40.0, axis=-2),
+                amp_to_db(mag, top_db=40.0, axis=-2),
                 XN_db,
                 self.n_std_thresh_stationary,
                 time_axis=-2,

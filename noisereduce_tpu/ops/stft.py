@@ -259,8 +259,11 @@ def stft(
         re = jnp.matmul(frames, c, preferred_element_type=acc, precision=prec).astype(x.dtype)
         im = jnp.matmul(frames, s, preferred_element_type=acc, precision=prec).astype(x.dtype)
     else:
-        Zc = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
-        re, im = jnp.real(Zc), jnp.imag(Zc)
+        # XLA's RFFT is f32/f64-only; bf16 frames round-trip through f32
+        fdt = frames.dtype
+        fr = frames.astype(jnp.float32) if fdt == jnp.bfloat16 else frames
+        Zc = jnp.fft.rfft(fr, n=cfg.n_fft, axis=-1)
+        re, im = jnp.real(Zc).astype(fdt), jnp.imag(Zc).astype(fdt)
 
     if cfg.convention == Convention.SCIPY:
         scale = jnp.asarray(
@@ -339,9 +342,11 @@ def istft(
             + jnp.matmul(im_p, si, preferred_element_type=acc, precision=prec)
         ).astype(rdtype)
     else:
+        if rdtype == jnp.bfloat16:  # XLA IRFFT is f32/f64-only
+            re_p, im_p = re_p.astype(jnp.float32), im_p.astype(jnp.float32)
         frames = jnp.fft.irfft(
             jax.lax.complex(re_p, im_p), n=cfg.n_fft, axis=-1
-        )[..., :frame_length]
+        )[..., :frame_length].astype(rdtype)
 
     window = jnp.asarray(w_np, dtype=rdtype)
     if cfg.convention == Convention.SCIPY:
