@@ -168,12 +168,36 @@ def gate_nonstationary(
     """Non-stationary spectral gate over (..., samples)
     (nonstationary.py:47-95).
 
-    ``use_pallas``: True / False / "auto". The |Z| → IIR floor → sigmoid
-    stage runs as one fused Pallas kernel (ops/pallas_mask.py) — a single
-    HBM pass instead of ~6, measured +24% pipeline RTF on v5e. "auto"
-    enables it off-CPU for float32 (complex64) compute; the float64/CPU
-    parity path keeps the jnp composition.
+    ``use_pallas``: True / False / "auto". On TPU with supported geometry
+    the whole gate runs as three fused Pallas kernels (framing+DFT, IIR
+    mask+time smoothing, apply+iDFT+OLA — ops/pallas_pipeline.py), keeping
+    each chunk's time axis resident in VMEM per frequency tile. Otherwise
+    the |Z| → IIR floor → sigmoid stage alone runs as one fused kernel
+    (ops/pallas_mask.py) when eligible; the float64/CPU parity path keeps
+    the jnp composition.
     """
+    if use_pallas is not False and chunk.dtype in (jnp.float32, jnp.bfloat16):
+        from noisereduce_tpu.ops.pallas_pipeline import (
+            fused_gate_supported,
+            fused_gate_nonstationary,
+        )
+
+        smoothing = cfg.smoothing
+        n_grad_time = smoothing[1] if smoothing else 0
+        wanted = use_pallas is True or (use_pallas == "auto" and _tpu_available())
+        if wanted and fused_gate_supported(cfg, chunk.shape[-1], n_grad_time):
+            return fused_gate_nonstationary(chunk, cfg)
+    return _gate_nonstationary_jnp(chunk, cfg, method, use_pallas)
+
+
+def _gate_nonstationary_jnp(
+    chunk: jax.Array,
+    cfg: GateConfig,
+    method: str = "auto",
+    use_pallas: object = False,
+) -> jax.Array:
+    """Staged pipeline (XLA ops; optional fused mask kernel). Also the
+    numerical oracle and grad twin of the fully fused Pallas path."""
     n_samples = chunk.shape[-1]
     re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
     pallas_ok = _pallas_decision(use_pallas, re.dtype, re.shape[-2])

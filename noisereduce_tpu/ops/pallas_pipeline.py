@@ -1,0 +1,691 @@
+"""Fully fused non-stationary gate: two Pallas TPU kernels + a banded matmul.
+
+The staged XLA pipeline (ops/stft.py + ops/pallas_mask.py + ops/dsp.py)
+materializes the framed signal (4x the input at hop = win/4), the magnitude,
+the IIR floor, and R pad+add OLA intermediates — ~6 HBM round-trips over
+arrays that are 4-8x the audio. Here the whole gate is two kernels and one
+matmul inside one jit graph, each kernel keeping a chunk's full time axis
+resident in VMEM per frequency tile:
+
+  kernel AM: hop-blocks -> windowed frame spectra (re_w, im_w) -> |Z| ->
+             filtfilt IIR floor -> sigmoid -> time-axis triangular
+             smoothing -> unsmoothed-in-frequency mask
+  XLA:       frequency-axis triangular smoothing as one banded matmul
+             (a 1-channel lane conv costs ~40 ms/chunk on v5e) +
+             prop_decrease blend (nonstationary.py:78-84)
+  kernel B:  mask apply -> synthesis window -> inverse DFT -> aligned
+             overlap-add into hop-blocks
+  XLA:       OLA window-envelope division (trace-time constant) + edge trim
+
+Three structural tricks make this ~4x cheaper in MXU flops than a literal
+matmul-DFT, at *better* accuracy than the staged path (every kernel dot is
+Precision.HIGHEST — true f32, vs XLA HIGH 3xbf16 matmuls):
+
+1. **Hop-block DFT factorization.** With win == n_fft and hop = win/r, the
+   unwindowed frame DFT is X_j[f] = sum_k FB[j+k][f] · e^{-2πi·k·f/r} where
+   FB[m] is the (hop -> n_bins) DFT of hop-block m. The matmuls contract
+   over hop (not win) samples and are shared by all r frames overlapping a
+   block — r-fold fewer flops. For r in {2, 4} the twiddles are exactly
+   {±1, ±i}: pure sign/swap lane patterns on the VPU. On the synthesis
+   side, OLA linearity gives out_block[m] = iDFT_hop(sum_k tw'_k·Y[m-k]) —
+   one (bins -> hop) matmul per block, and sublane-ALIGNED output writes.
+2. **Hann in the frequency domain.** The periodic Hann window is
+   0.5 - 0.25·e^{i2πt/N} - 0.25·e^{-i2πt/N}, so windowing is the exact
+   3-tap bin stencil 0.5·X[f] - 0.25·X[f-1] - 0.25·X[f+1] (Hermitian
+   extension at the edges). Both the analysis and synthesis windows run as
+   lane rolls inside the kernels.
+3. **Overlapped frequency tiles.** Each 128-lane tile carries a 124-bin
+   core plus 2 halo bins per side (recomputed, bit-identical), so both
+   Hann stencils stay tile-local; the halo bins are zeroed out of the
+   inverse-DFT constants so every bin contributes exactly once.
+
+Reference semantics: scipy stft/istft as called by the NumPy engine
+(nonstationary.py:51-57,90-95), filtfilt IIR floor (nonstationary.py:106-115),
+smooth-then-blend order (nonstationary.py:78-84). Under grad/vjp the value
+and gradient come from the staged jnp twin (custom_vjp — Mosaic kernels have
+no autodiff rule).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from noisereduce_tpu.config import Convention, GateConfig, StftConfig
+from noisereduce_tpu.ops.stft import _analysis_window_np, _ola_norm_np
+from noisereduce_tpu.ops.pallas_mask import (
+    _consts_np,
+    max_frames_for_vmem,
+)
+
+__all__ = ["fused_gate_nonstationary", "fused_gate_supported"]
+
+_TB = 128    # time block (frames per MXU step)
+_FT = 128    # frequency tile width (lanes)
+_HALO = 2    # halo bins per side (two Hann stencil levels)
+_CORE = _FT - 2 * _HALO  # bins owned per tile
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Host-side constants (trace-time, cached per static geometry)
+# ---------------------------------------------------------------------------
+def _tile_bins(j: int):
+    """Global bin index of each lane of tile j (may be out of range)."""
+    return j * _CORE - _HALO + np.arange(_FT, dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_dft_consts_np(cfg: StftConfig, n_tiles: int):
+    """Unwindowed hop-block DFT matrices per overlapped tile.
+
+    C/S (n_tiles, hop, _FT): block (hop,) @ C[j] -> Re of FB for tile j's
+    (overlapped) bins; out-of-range bins give zero columns."""
+    hop = cfg.hop_length
+    n_bins = cfg.n_bins
+    p = np.arange(hop, dtype=np.float64)[:, None]
+    c = np.zeros((n_tiles, hop, _FT), np.float64)
+    s = np.zeros((n_tiles, hop, _FT), np.float64)
+    for j in range(n_tiles):
+        k = _tile_bins(j)[None, :].astype(np.float64)
+        ang = -2.0 * np.pi * p * k / cfg.n_fft
+        valid = ((k >= 0) & (k < n_bins)).astype(np.float64)
+        c[j] = np.cos(ang) * valid
+        s[j] = np.sin(ang) * valid
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_idft_consts_np(cfg: StftConfig, n_tiles: int):
+    """Inverse hop-block DFT matrices per tile: Ci/Si (n_tiles, _FT, hop),
+    with the irfft Hermitian bin weights (2 except DC/Nyquist) and 1/n_fft
+    folded. Rows for halo lanes or out-of-range bins are zero so every
+    global bin contributes to the OLA exactly once."""
+    hop = cfg.hop_length
+    n_bins = cfg.n_bins
+    t = np.arange(hop, dtype=np.float64)[None, :]
+    ci = np.zeros((n_tiles, _FT, hop), np.float64)
+    si = np.zeros((n_tiles, _FT, hop), np.float64)
+    lane = np.arange(_FT)
+    for j in range(n_tiles):
+        k = _tile_bins(j)[:, None].astype(np.float64)
+        ang = 2.0 * np.pi * k * t / cfg.n_fft
+        wk = np.where((k > 0) & ((k < cfg.n_fft / 2) | (cfg.n_fft % 2 == 1)), 2.0, 1.0)
+        core = ((lane >= _HALO) & (lane < _FT - _HALO))[:, None]
+        valid = ((k >= 0) & (k < n_bins)) & core
+        ci[j] = (wk * np.cos(ang) / cfg.n_fft) * valid
+        si[j] = (-wk * np.sin(ang) / cfg.n_fft) * valid
+    return ci.astype(np.float32), si.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_norm_np(n_grad: int) -> np.ndarray:
+    """Normalized triangular taps (len 2n+1), matching ops.dsp."""
+    from noisereduce_tpu.ops.dsp import triangular_vector
+
+    v = triangular_vector(n_grad)
+    return (v / v.sum()).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_band_np(n_grad_freq: int, n_bins: int, n_tiles: int) -> np.ndarray:
+    """Banded (f_pad, f_pad) matrix realizing the 'same' triangular conv
+    along bins in the overlapped-tile layout: mask @ W.
+
+    Rows: only core lanes with in-range bins (each global bin read exactly
+    once). Columns: every lane whose bin is in range — halo copies of a bin
+    receive the same smoothed value as its core copy, so the downstream
+    synthesis stencil sees consistent neighbors."""
+    vf = _tri_norm_np(n_grad_freq)
+    f_pad = n_tiles * _FT
+    w = np.zeros((f_pad, f_pad), np.float32)
+    bins = np.concatenate([_tile_bins(j) for j in range(n_tiles)])
+    lanes = np.tile(np.arange(_FT), n_tiles)
+    core = (lanes >= _HALO) & (lanes < _FT - _HALO)
+    for rr in range(f_pad):
+        if not core[rr] or not (0 <= bins[rr] < n_bins):
+            continue
+        for cc in range(f_pad):
+            d = bins[cc] - bins[rr]
+            if 0 <= bins[cc] < n_bins and abs(d) <= n_grad_freq:
+                w[rr, cc] = vf[n_grad_freq + d]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+def _twiddle_combine(parts_re, parts_im, r: int, inverse: bool, bin0: int):
+    """Combine r (rows, _FT) block-DFT shifts into a frame spectrum.
+
+    parts_{re,im}[k] is FB[j+k] (forward) or Y[m-k] (inverse). For
+    r in {2, 4} the twiddle e^{∓2πi·k·f/r} takes values in {±1, ∓i, ±i}
+    depending on (k·f) mod r — pure sign/swap selection by lane index.
+    ``bin0`` is the global bin of lane 0 (twiddles depend on the global
+    bin, and the overlapped tile origin shifts by -_HALO).
+    """
+    rows, lanes = parts_re[0].shape
+    base = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1) + bin0
+    acc_re = parts_re[0]
+    acc_im = parts_im[0]
+    for k in range(1, r):
+        kf = (k * base) % r  # bin0 can be negative only by _HALO < r*? guard
+        a, b = parts_re[k], parts_im[k]
+        if r == 2:
+            sign = jnp.where(kf == 0, 1.0, -1.0)
+            acc_re = acc_re + a * sign
+            acc_im = acc_im + b * sign
+        else:  # r == 4 (guarded by fused_gate_supported)
+            # forward: (-i)^(kf mod 4) in {1, -i, -1, i};
+            # inverse: (+i)^(kf mod 4) in {1, i, -1, -i}
+            # X*(-i) = (im, -re); X*(+i) = (-im, re); X*(-1) = (-re, -im)
+            s_im = 1.0 if not inverse else -1.0
+            re_k = jnp.where(
+                kf == 0, a,
+                jnp.where(kf == 2, -a, jnp.where(kf == 1, s_im * b, -s_im * b)),
+            )
+            im_k = jnp.where(
+                kf == 0, b,
+                jnp.where(kf == 2, -b, jnp.where(kf == 1, -s_im * a, s_im * a)),
+            )
+            acc_re = acc_re + re_k
+            acc_im = acc_im + im_k
+    return acc_re, acc_im
+
+
+def _hermitian_fix(re, im, j, n_tiles: int, col_dc: int, col_nyq: int):
+    """Overwrite the lanes holding bins -1 / n_bins with the Hermitian
+    extension conj(X[1]) / conj(X[n_bins-2]) — the values the reference's
+    real-signal DFT implies there. The source lane is 2 away, so a +2 lane
+    roll aligns it; only the first/last tile carries these lanes."""
+    lanes = re.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
+    # bin -1 copies from bin +1 (2 lanes to the RIGHT: x[c+2]);
+    # bin n_bins copies from bin n_bins-2 (2 lanes to the LEFT: x[c-2])
+    right_re = pltpu.roll(re, lanes - 2, axis=1)
+    right_im = pltpu.roll(im, lanes - 2, axis=1)
+    left_re = pltpu.roll(re, 2, axis=1)
+    left_im = pltpu.roll(im, 2, axis=1)
+    fix_dc = (j == 0) & (lane == col_dc)
+    fix_ny = (j == n_tiles - 1) & (lane == col_nyq)
+    re = jnp.where(fix_dc, right_re, jnp.where(fix_ny, left_re, re))
+    im = jnp.where(fix_dc, -right_im, jnp.where(fix_ny, -left_im, im))
+    return re, im
+
+
+def _hann_stencil_lanes(re, im, scale):
+    """0.5·X[c] - 0.25·(X[c-1] + X[c+1]) over lanes, times ``scale``.
+    Valid on lanes [1, _FT-1); edge lanes come out as garbage (the caller's
+    layout guarantees they are never consumed)."""
+    lanes = re.shape[-1]
+    re_m = pltpu.roll(re, 1, axis=1)       # X[c-1]
+    re_p = pltpu.roll(re, lanes - 1, axis=1)  # X[c+1]
+    im_m = pltpu.roll(im, 1, axis=1)
+    im_p = pltpu.roll(im, lanes - 1, axis=1)
+    sc = jnp.float32(scale)
+    return (
+        (0.5 * re - 0.25 * (re_m + re_p)) * sc,
+        (0.5 * im - 0.25 * (im_m + im_p)) * sc,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel AM: hop-blocks -> windowed spectra + time-smoothed mask
+# ---------------------------------------------------------------------------
+def _am_kernel(
+    blocks_hbm, c_ref, s_ref, re_ref, im_ref, mask_ref, tc_ref, ts_ref, y_ref,
+    blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
+    scale, b, thresh, slope, vt,
+):
+    """One (chunk, F-tile) cell: everything from hop-blocks to the
+    (time-smoothed) mask, with the windowed spectra as side outputs.
+
+    The hop-block input stays in HBM and is DMA'd into a persistent VMEM
+    scratch once per chunk (at the first F-tile) — a pipelined VMEM input
+    would be double-buffered and blow the 16 MiB budget."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t_pad = y_ref.shape[0]
+    bin0 = bin0_base + j * _CORE
+
+    @pl.when(j == 0)
+    def _():
+        dma = pltpu.make_async_copy(blocks_hbm.at[i], blocks_ref, dma_sem)
+        dma.start()
+        dma.wait()
+
+    # ---- phase 1: FB staged in the re/im output refs (+ ext-row tail) ----
+    def fb_body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        xb = blocks_ref[pl.ds(s, _TB), :]
+        re_ref[0, pl.ds(s, _TB), :] = jnp.dot(
+            xb, c_ref[...], preferred_element_type=jnp.float32,
+            precision=_HIGHEST,
+        )
+        im_ref[0, pl.ds(s, _TB), :] = jnp.dot(
+            xb, s_ref[...], preferred_element_type=jnp.float32,
+            precision=_HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, fb_body, 0)
+    tail = pl.multiple_of(n_tb * _TB, _TB)
+    xb = blocks_ref[pl.ds(tail, ext), :]
+    tc_ref[...] = jnp.dot(
+        xb, c_ref[...], preferred_element_type=jnp.float32, precision=_HIGHEST
+    )
+    ts_ref[...] = jnp.dot(
+        xb, s_ref[...], preferred_element_type=jnp.float32, precision=_HIGHEST
+    )
+
+    # ---- phase 2: twiddle frame combine + analysis Hann ------------------
+    def frame_body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        nxt = pl.multiple_of(jnp.minimum(s + _TB, n_tb * _TB - ext), 8)
+        nc = jnp.where(tb == n_tb - 1, tc_ref[...], re_ref[0, pl.ds(nxt, ext), :])
+        ns = jnp.where(tb == n_tb - 1, ts_ref[...], im_ref[0, pl.ds(nxt, ext), :])
+        wc = jnp.concatenate([re_ref[0, pl.ds(s, _TB), :], nc], axis=0)
+        ws = jnp.concatenate([im_ref[0, pl.ds(s, _TB), :], ns], axis=0)
+        parts_re = [
+            jax.lax.slice_in_dim(wc, k, k + _TB, axis=0) for k in range(r)
+        ]
+        parts_im = [
+            jax.lax.slice_in_dim(ws, k, k + _TB, axis=0) for k in range(r)
+        ]
+        xre, xim = _twiddle_combine(parts_re, parts_im, r, False, bin0)
+        xre, xim = _hermitian_fix(xre, xim, j, n_tiles, col_dc, col_nyq)
+        xre, xim = _hann_stencil_lanes(xre, xim, scale)
+        re_ref[0, pl.ds(s, _TB), :] = xre
+        im_ref[0, pl.ds(s, _TB), :] = xim
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, frame_body, 0)
+
+    # ---- phase 3: IIR floor + sigmoid mask (magnitude recomputed from the
+    # spectra refs per block; the backward pass stores the mask into y_ref
+    # in place of the consumed forward state) ------------------------------
+    d_fwd = dfwd_ref[...]
+    d_bwd = dbwd_ref[...]
+
+    def mag_at(start):
+        rr = re_ref[0, pl.ds(start, _TB), :]
+        ii = im_ref[0, pl.ds(start, _TB), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        return jnp.where(ridx < t_real, jnp.sqrt(rr * rr + ii * ii), 0.0)
+
+    def fwd_body(kb, carry):
+        start = pl.multiple_of(kb * _TB, _TB)
+        xb = mag_at(start)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        xb = jnp.where(ridx == 0, xb * jnp.float32(1.0 / b), xb)
+        p = jnp.dot(l_ref[...], xb, preferred_element_type=jnp.float32,
+                    precision=_HIGHEST)
+        yb = p + carry * d_fwd
+        y_ref[pl.ds(start, _TB), :] = yb
+        return yb[_TB - 1 :, :]
+
+    carry0 = jnp.zeros((1, _FT), jnp.float32)
+    jax.lax.fori_loop(0, n_tb, fwd_body, carry0)
+
+    def bwd_body(k, carry):
+        kb = n_tb - 1 - k
+        start = pl.multiple_of(kb * _TB, _TB)
+        yb = y_ref[pl.ds(start, _TB), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        yb = jnp.where(ridx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
+        yb = jnp.where(ridx > t_real - 1, 0.0, yb)
+        p = jnp.dot(lt_ref[...], yb, preferred_element_type=jnp.float32,
+                    precision=_HIGHEST)
+        wb = p + carry * d_bwd
+        mb = mag_at(start)
+        safe_w = jnp.where(wb == 0.0, 1.0, wb)
+        ratio = (mb - wb) / safe_w
+        mask = jax.nn.sigmoid((ratio - jnp.float32(thresh)) * jnp.float32(slope))
+        mask = jnp.where(ridx < t_real, mask, 0.0)
+        if vt is None:
+            mask_ref[0, pl.ds(start, _TB), :] = mask
+        else:
+            y_ref[pl.ds(start, _TB), :] = mask
+        return wb[:1, :]
+
+    jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
+
+    # ---- phase 4: blockwise time-axis triangular smoothing ---------------
+    if vt is not None:
+        nt = (len(vt) - 1) // 2
+        H = 16  # halo rows (requires nt <= 16, see fused_gate_supported)
+
+        def smooth_body(tb, _):
+            s = pl.multiple_of(tb * _TB, _TB)
+            blk = y_ref[pl.ds(s, _TB), :]
+            prev_start = pl.multiple_of(jnp.maximum(s - H, 0), H)
+            prev = y_ref[pl.ds(prev_start, H), :]
+            prev = jnp.where(tb == 0, 0.0, prev)
+            next_start = pl.multiple_of(jnp.minimum(s + _TB, t_pad - H), H)
+            nxt = y_ref[pl.ds(next_start, H), :]
+            nxt = jnp.where(tb == n_tb - 1, 0.0, nxt)
+            window = jnp.concatenate([prev, blk, nxt], axis=0)
+            acc = jnp.zeros((_TB, _FT), jnp.float32)
+            for d in range(2 * nt + 1):
+                sl = jax.lax.slice_in_dim(
+                    window, H - nt + d, H - nt + d + _TB, axis=0
+                )
+                acc = acc + sl * jnp.float32(vt[d])
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+            mask_ref[0, pl.ds(s, _TB), :] = jnp.where(ridx < t_real, acc, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_tb, smooth_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: mask apply + synthesis Hann + inverse block DFT + aligned OLA
+# ---------------------------------------------------------------------------
+def _apply_istft_kernel(
+    re_ref, im_ref, mask_ref, ci_ref, si_ref, out_ref,
+    *, n_tb, n_tiles, r, hop, bin0_base, col_dc, col_nyq, post,
+):
+    """One (chunk, F-tile) cell: out_block[m] = iDFT_hop(sum_k tw'_k·Y[m-k])
+    with Y = HannStencil(Z_w·mask)·win_sum computed on the fly per (_TB+8)-row
+    window — aligned reads with an 8-row lookback, aligned accumulating
+    writes, revisited across tiles."""
+    j = pl.program_id(1)
+    bin0 = bin0_base + j * _CORE
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    H = 8  # lookback rows (covers k <= r-1 <= 7)
+
+    def y_window(start, size, zero_first):
+        rr = re_ref[0, pl.ds(start, size), :]
+        ii = im_ref[0, pl.ds(start, size), :]
+        mm = mask_ref[0, pl.ds(start, size), :]
+        rr, ii = rr * mm, ii * mm
+        rr, ii = _hermitian_fix(rr, ii, j, n_tiles, col_dc, col_nyq)
+        rr, ii = _hann_stencil_lanes(rr, ii, post)
+        if zero_first is not None:
+            rr = jnp.where(zero_first, 0.0, rr)
+            ii = jnp.where(zero_first, 0.0, ii)
+        return rr, ii
+
+    def body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        prev_start = pl.multiple_of(jnp.maximum(s - H, 0), H)
+        pre_re, pre_im = y_window(prev_start, H, tb == 0)
+        cur_re, cur_im = y_window(s, _TB, None)
+        wre = jnp.concatenate([pre_re, cur_re], axis=0)
+        wim = jnp.concatenate([pre_im, cur_im], axis=0)
+        # rows of w* are Y[s-H .. s+_TB); Y[m-k] = w*[H - k + (m - s)]
+        parts_re = [
+            jax.lax.slice_in_dim(wre, H - k, H - k + _TB, axis=0)
+            for k in range(r)
+        ]
+        parts_im = [
+            jax.lax.slice_in_dim(wim, H - k, H - k + _TB, axis=0)
+            for k in range(r)
+        ]
+        ure, uim = _twiddle_combine(parts_re, parts_im, r, True, bin0)
+        pk = jnp.dot(
+            ure, ci_ref[...], preferred_element_type=jnp.float32,
+            precision=_HIGHEST,
+        ) + jnp.dot(
+            uim, si_ref[...], preferred_element_type=jnp.float32,
+            precision=_HIGHEST,
+        )
+        out_ref[0, pl.ds(s, _TB), :] = out_ref[0, pl.ds(s, _TB), :] + pk
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Geometry + eligibility
+# ---------------------------------------------------------------------------
+def _geometry(scfg: StftConfig, n_samples: int):
+    win = scfg.frame_length
+    hop = scfg.hop_length
+    r = win // hop
+    n_frames = scfg.n_frames(n_samples)
+    n_blocks = n_frames + r - 1
+    t_pad = -(-n_frames // _TB) * _TB
+    ext = 8  # FB lookahead rows (covers k <= r-1 <= 7)
+    nb_pad = t_pad + ext
+    n_tiles = -(-scfg.n_bins // _CORE)
+    return win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles
+
+
+def fused_gate_supported(cfg: GateConfig, n_samples: int, n_grad_time) -> bool:
+    """Static eligibility of the fully fused kernels for this geometry."""
+    scfg = cfg.stft
+    if scfg.convention != Convention.SCIPY:
+        return False
+    win, hop = scfg.frame_length, scfg.hop_length
+    if win != scfg.n_fft:
+        return False  # Hann-in-frequency identity needs win == n_fft
+    if win % hop or hop % 128:
+        return False  # hop must be lane-aligned and divide the frame
+    r = win // hop
+    if r not in (2, 4):
+        # twiddles must be in {±1, ±i}; r=1 (hop == win) violates COLA —
+        # the OLA envelope touches zero and amplifies rounding differences
+        return False
+    n_frames = scfg.n_frames(n_samples)
+    t_pad = -(-n_frames // _TB) * _TB
+    if n_frames > max_frames_for_vmem():
+        return False
+    # out-blocks live in (t_pad, hop): the r-1 trailing OLA blocks must fit.
+    # (The blockwise time smoothing needs NO margin: its halos clamp inside
+    # t_pad and rows past t_real are zero.)
+    if t_pad - n_frames < r - 1:
+        return False
+    if (n_grad_time or 0) > 16:
+        return False  # blockwise smoothing halo is 16 rows
+    return True
+
+
+# ---------------------------------------------------------------------------
+# The fused gate (custom_vjp: jnp twin under grad)
+# ---------------------------------------------------------------------------
+def fused_gate_nonstationary(
+    chunk: jax.Array, cfg: GateConfig, interpret: bool = False
+) -> jax.Array:
+    """Drop-in fast path for models.spectral_gate.gate_nonstationary on TPU:
+    same math (scipy conventions, filtfilt IIR floor, triangular smoothing,
+    prop_decrease-after-smoothing order), float32. More accurate than the
+    staged TPU path (~1e-6 vs ~1e-3 of a float64 oracle: every kernel dot is
+    Precision.HIGHEST, vs XLA HIGH 3xbf16). Caller guarantees
+    ``fused_gate_supported``.
+    """
+    return _fused_gate_cvjp(chunk, cfg, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fused_gate_cvjp(chunk, cfg, interpret):
+    return _fused_gate_impl(chunk, cfg, interpret)
+
+
+def _fused_gate_fwd(chunk, cfg, interpret):
+    from noisereduce_tpu.models.spectral_gate import _gate_nonstationary_jnp
+
+    out, vjp_fn = jax.vjp(
+        lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"), chunk
+    )
+    return out, vjp_fn
+
+
+def _fused_gate_bwd(cfg, interpret, vjp_fn, g):
+    return vjp_fn(g)
+
+
+_fused_gate_cvjp.defvjp(_fused_gate_fwd, _fused_gate_bwd)
+
+
+def _fused_gate_impl(chunk, cfg, interpret):
+    scfg = cfg.stft
+    n_samples = chunk.shape[-1]
+    batch_shape = chunk.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples
+    )
+    f_pad = n_tiles * _FT
+    n_tb = t_pad // _TB
+    n_bins = scfg.n_bins
+
+    x = chunk.reshape(B, n_samples).astype(jnp.float32)
+    # boundary extension + hop-block reshape (scipy stft: win//2 zeros each
+    # side, signal truncated/padded to n_blocks*hop — ops/stft.frame_signal)
+    pad = scfg.boundary_pad
+    need = n_blocks * hop
+    right = max(pad, need - n_samples - pad)
+    x = jnp.pad(x, [(0, 0), (pad, right)])
+    x = x[:, :need]
+    blocks = x.reshape(B, n_blocks, hop)
+    blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
+
+    c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
+    ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
+
+    # lanes that hold bins -1 / n_bins (Hermitian-fix targets). bin -1 is
+    # lane _HALO-1 of tile 0; bin n_bins sits in the last tile at
+    # n_bins - bins(last tile)[0].
+    col_dc = _HALO - 1
+    col_nyq = int(n_bins - _tile_bins(n_tiles - 1)[0])
+    bin0_base = -_HALO
+
+    # a half-width of 1 still means a 3-tap kernel — only smoothing=None
+    # disables an axis (reference base.py:124-127 / ops.dsp.smooth_mask)
+    smoothing = cfg.smoothing
+    n_grad_freq = smoothing[0] if smoothing else 0
+    n_grad_time = smoothing[1] if smoothing else 0
+    vt = tuple(_tri_norm_np(n_grad_time).tolist()) if n_grad_time >= 1 else None
+
+    scale = (
+        1.0 / float(_analysis_window_np(scfg).sum())
+        if scfg.convention == Convention.SCIPY
+        else 1.0
+    )
+    post = float(_analysis_window_np(scfg).sum()) if (
+        scfg.convention == Convention.SCIPY
+    ) else 1.0
+
+    # ---- kernel AM ----------------------------------------------------------
+    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    cmat_spec = pl.BlockSpec(
+        (1, hop, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = pl.BlockSpec(
+        (1, t_pad, _FT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    iirmat_spec = pl.BlockSpec(
+        (_TB, _TB), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec(
+        (_TB, _FT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    L, d_fwd, d_bwd, _ = _consts_np(cfg.iir_b, _TB)
+    am = functools.partial(
+        _am_kernel,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+        bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+        b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
+        slope=cfg.sigmoid_slope_nonstationary, vt=vt,
+    )
+
+    def am_kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
+                  re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+        am(b_ref, c_ref[0], s_ref[0], re_ref, im_ref, mask_ref, tc, ts, y,
+           bv, sem, l_ref, lt_ref, df_ref, db_ref)
+
+    re_w, im_w, mask = pl.pallas_call(
+        am_kernel,
+        grid=(B, n_tiles),
+        in_specs=[blocks_spec, cmat_spec, cmat_spec,
+                  iirmat_spec, iirmat_spec, vec_spec, vec_spec],
+        out_specs=(plane_spec, plane_spec, plane_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ext, _FT), jnp.float32),   # FB tail, real
+            pltpu.VMEM((ext, _FT), jnp.float32),   # FB tail, imag
+            pltpu.VMEM((t_pad, _FT), jnp.float32),  # IIR state / unsmoothed mask
+            pltpu.VMEM((nb_pad, hop), jnp.float32),  # hop blocks (DMA'd per i)
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        blocks, jnp.asarray(c_np), jnp.asarray(s_np),
+        jnp.asarray(L), jnp.asarray(L.T),
+        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
+        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
+    )
+
+    # ---- XLA: frequency smoothing (banded matmul) + blend -------------------
+    if n_grad_freq >= 1:
+        w = jnp.asarray(_freq_band_np(n_grad_freq, n_bins, n_tiles))
+        mask = jnp.matmul(
+            mask, w, preferred_element_type=jnp.float32, precision=_HIGHEST
+        )
+    mask = mask * jnp.float32(cfg.prop_decrease) + jnp.float32(
+        1.0 - cfg.prop_decrease
+    )
+    # the blend puts (1 - prop) into padded frame rows too; re-zero them so
+    # garbage frames (real hop-blocks beyond the last frame) stay out of
+    # the OLA (the reference has no frames there at all)
+    if n_frames < t_pad:
+        row = jnp.arange(t_pad, dtype=jnp.int32)[None, :, None]
+        mask = jnp.where(row < n_frames, mask, 0.0)
+
+    # ---- kernel B ------------------------------------------------------------
+    idft_spec = pl.BlockSpec(
+        (1, _FT, hop), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, t_pad, hop), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bk = functools.partial(
+        _apply_istft_kernel,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
+        col_dc=col_dc, col_nyq=col_nyq, post=post,
+    )
+
+    def istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, out_ref):
+        bk(re_ref, im_ref, m_ref, ci_ref[0], si_ref[0], out_ref)
+
+    out_blocks = pl.pallas_call(
+        istft_kernel,
+        grid=(B, n_tiles),
+        in_specs=[plane_spec, plane_spec, plane_spec, idft_spec, idft_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32),
+        interpret=interpret,
+    )(re_w, im_w, mask, jnp.asarray(ci_np), jnp.asarray(si_np))
+
+    # ---- XLA: envelope division + scipy edge trim ----------------------------
+    full = win + (n_frames - 1) * hop  # == n_blocks * hop
+    y = out_blocks.reshape(B, t_pad * hop)[:, :full]
+    trim = scfg.win_length // 2
+    y = y[:, trim : full - trim]
+    norm = _ola_norm_np(scfg, n_frames)[trim : full - trim]
+    norm = np.where(norm > 1e-10, norm, 1.0)
+    y = y / jnp.asarray(norm, jnp.float32)
+
+    # zero-fill back to the chunk length (reference writes the shorter istft
+    # into a zeros buffer, nonstationary.py:49,95)
+    out_len = y.shape[-1]
+    if out_len < n_samples:
+        y = jnp.pad(y, [(0, 0), (0, n_samples - out_len)])
+    elif out_len > n_samples:
+        y = y[:, :n_samples]
+    return y.reshape(batch_shape + (n_samples,)).astype(chunk.dtype)

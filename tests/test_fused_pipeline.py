@@ -1,0 +1,101 @@
+"""Fully fused Pallas gate (ops/pallas_pipeline.py) vs the staged jnp path.
+
+Runs the kernels in interpret mode on CPU; the staged float32 jnp pipeline
+is the oracle (on real TPU the fused path is *closer* to float64 than the
+staged path — every kernel dot is Precision.HIGHEST — see bench.py's
+on-device assertion).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from noisereduce_tpu.config import GateConfig
+from noisereduce_tpu.models.spectral_gate import _gate_nonstationary_jnp
+from noisereduce_tpu.ops.pallas_pipeline import (
+    _fused_gate_impl,
+    fused_gate_supported,
+)
+
+RNG = np.random.default_rng(5)
+
+CASES = [
+    ("default", 30000, 44100, (), {}),
+    ("batched", 50000, 48000, (2,), {}),
+    ("multidim-batch", 40000, 48000, (2, 2), {}),
+    ("no-smoothing", 30000, 44100, (),
+     dict(freq_mask_smooth_hz=None, time_mask_smooth_ms=None)),
+    ("freq-only-smoothing", 20000, 16000, (), dict(time_mask_smooth_ms=None)),
+    ("time-only-smoothing", 20000, 16000, (), dict(freq_mask_smooth_hz=None)),
+    ("prop-decrease", 30000, 44100, (),
+     dict(prop_decrease=0.6, thresh_n_mult_nonstationary=1.2,
+          sigmoid_slope_nonstationary=25)),
+    ("prop-zero", 30000, 44100, (), dict(prop_decrease=0.0)),
+    ("nfft-2048", 30000, 44100, (), dict(n_fft=2048)),
+    ("r2-hop", 30000, 44100, (), dict(n_fft=1024, hop_length=512)),
+    ("fast-iir", 30000, 44100, (), dict(time_constant_s=0.5)),
+    ("low-sr", 8000, 8000, (), {}),
+]
+
+
+@pytest.mark.parametrize("name,n,sr,batch,kw", CASES, ids=[c[0] for c in CASES])
+def test_fused_matches_staged(name, n, sr, batch, kw):
+    cfg = GateConfig(sr=sr, stationary=False, **kw)
+    sm = cfg.smoothing
+    ngt = sm[1] if sm else 0
+    assert fused_gate_supported(cfg, n, ngt), "case expected to be eligible"
+    x = jnp.asarray(RNG.standard_normal(batch + (n,)), jnp.float32)
+    ref = np.asarray(_gate_nonstationary_jnp(x, cfg, method="matmul"),
+                     np.float64)
+    got = np.asarray(_fused_gate_impl(x, cfg, interpret=True), np.float64)
+    assert got.shape == ref.shape
+    dev = np.abs(got - ref).max()
+    scale = np.abs(ref).max()
+    # f32 accumulation-order differences only (HIGHEST kernel dots vs XLA)
+    assert dev <= 5e-5 * scale, f"{name}: rel dev {dev / scale:.3e}"
+
+
+def test_unsupported_geometries_fall_back():
+    # hop not lane-aligned
+    assert not fused_gate_supported(
+        GateConfig(sr=44100, n_fft=256), 8000, 1)
+    # win < n_fft breaks the Hann-in-frequency identity
+    assert not fused_gate_supported(
+        GateConfig(sr=44100, n_fft=2048, win_length=1024, hop_length=256),
+        30000, 9)
+    # hop == win violates COLA
+    assert not fused_gate_supported(
+        GateConfig(sr=44100, n_fft=1024, hop_length=1024), 30000, 9)
+    # torch convention has its own windowing rules
+    from noisereduce_tpu.config import Convention
+
+    assert not fused_gate_supported(
+        GateConfig(sr=44100, convention=Convention.TORCH), 30000, 9)
+
+
+def test_gate_dispatch_uses_jnp_on_cpu():
+    """With use_pallas='auto' on CPU the staged jnp path must be taken
+    (results identical to use_pallas=False)."""
+    from noisereduce_tpu.models.spectral_gate import gate_nonstationary
+
+    cfg = GateConfig(sr=44100, stationary=False)
+    x = jnp.asarray(RNG.standard_normal(20000), jnp.float32)
+    a = gate_nonstationary(x, cfg, method="matmul", use_pallas="auto")
+    b = gate_nonstationary(x, cfg, method="matmul", use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_gate_grad_routes_through_jnp_twin():
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_nonstationary
+
+    cfg = GateConfig(sr=8000, stationary=False)
+    x = jnp.asarray(RNG.standard_normal(9000), jnp.float32)
+
+    g = jax.grad(
+        lambda a: jnp.mean(fused_gate_nonstationary(a, cfg, interpret=True) ** 2)
+    )(x)
+    g_ref = jax.grad(
+        lambda a: jnp.mean(_gate_nonstationary_jnp(a, cfg, "matmul") ** 2)
+    )(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
