@@ -108,20 +108,27 @@ def main():
     rows.append(("torch-convention non-stationary", DUR / timeit(torch_conv, y)))
     log(rows[-1])
 
-    # 5. TPUGate training step (notebook-3.0): fwd+bwd through the gate
+    # 5. TPUGate training step (notebook-3.0): fwd+bwd through the gate.
+    # Two batch sizes: 16 (the round-1 workload — dominated by the ~31 ms
+    # remote-launch overhead of this environment) and 256 (saturates the
+    # chip; the honest per-chip training throughput).
     g2 = TPUGate(sr=16000, nonstationary=True)
-    xb = jax.device_put(
-        jnp.asarray(rng.standard_normal((16, 16000 * 4)), jnp.float32)
-    )
 
     def train_step(x):
         loss, grads = jax.value_and_grad(lambda xx: jnp.mean(g2(xx) ** 2))(x)
         return loss + jnp.sum(grads)
 
-    audio_s = 16 * 4
-    log("running: training step...")
-    rows.append(("TPUGate fwd+bwd (batch 16 x 4s)", audio_s / timeit(train_step, xb)))
-    log(rows[-1])
+    for batch in (16, 256):
+        xb = jax.device_put(
+            jnp.asarray(rng.standard_normal((batch, 16000 * 4)), jnp.float32)
+        )
+        audio_s = batch * 4
+        log(f"running: training step (batch {batch})...")
+        rows.append(
+            (f"TPUGate fwd+bwd (batch {batch} x 4s)", audio_s / timeit(train_step, xb))
+        )
+        log(rows[-1])
+        del xb
 
     print("| config | RTF (audio-sec/sec/chip) |")
     print("|---|---|")
