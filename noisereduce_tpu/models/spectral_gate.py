@@ -115,13 +115,24 @@ def _apply_mask_and_invert(
 
 
 def stationary_noise_threshold(
-    y_noise: jax.Array, cfg: GateConfig, method: str = "auto"
+    y_noise: jax.Array, cfg: GateConfig, method: str = "auto",
+    use_pallas: object = "auto",
 ) -> jax.Array:
     """Per-frequency dB threshold from a (mono) noise clip.
 
     mean + std * n_std_thresh over time of the noise dB spectrogram
-    (stationary.py:67-81; np.std ddof=0).
+    (stationary.py:67-81; np.std ddof=0). On TPU the noise spectra come
+    from the fused true-f32 STFT kernel when the geometry allows.
     """
+    if use_pallas is not False and y_noise.dtype in (jnp.float32, jnp.bfloat16):
+        from noisereduce_tpu.ops.pallas_pipeline import (
+            fused_gate_supported,
+            fused_stationary_threshold,
+        )
+
+        wanted = use_pallas is True or (use_pallas == "auto" and _tpu_available())
+        if wanted and fused_gate_supported(cfg, y_noise.shape[-1], 0):
+            return fused_stationary_threshold(y_noise.astype(jnp.float32), cfg)
     re, im = stft(y_noise, cfg.stft, method=method, time_major=True, split=True)
     ddt = _mask_dtype(re.dtype)
     re, im = re.astype(ddt), im.astype(ddt)
@@ -136,12 +147,37 @@ def gate_stationary(
     noise_thresh: jax.Array,
     cfg: GateConfig,
     method: str = "auto",
+    use_pallas: object = "auto",
 ) -> jax.Array:
     """Stationary spectral gate over (..., samples) (stationary.py:83-126).
 
-    Runs time-major: (..., frames, bins), the DFT's native layout — the
-    per-frequency threshold broadcasts directly over frames.
+    On TPU with supported geometry the whole gate runs as two fused Pallas
+    kernels + a banded matmul (ops/pallas_pipeline.py), like the
+    non-stationary path; otherwise the staged jnp pipeline below.
     """
+    if use_pallas is not False and chunk.dtype in (jnp.float32, jnp.bfloat16):
+        from noisereduce_tpu.ops.pallas_pipeline import (
+            fused_gate_supported,
+            fused_gate_stationary,
+        )
+
+        smoothing = cfg.smoothing
+        n_grad_time = smoothing[1] if smoothing else 0
+        wanted = use_pallas is True or (use_pallas == "auto" and _tpu_available())
+        if wanted and fused_gate_supported(cfg, chunk.shape[-1], n_grad_time):
+            return fused_gate_stationary(chunk, noise_thresh, cfg)
+    return _gate_stationary_jnp(chunk, noise_thresh, cfg, method)
+
+
+def _gate_stationary_jnp(
+    chunk: jax.Array,
+    noise_thresh: jax.Array,
+    cfg: GateConfig,
+    method: str = "auto",
+) -> jax.Array:
+    """Staged pipeline (XLA ops), time-major: (..., frames, bins) — the
+    DFT's native layout, the per-frequency threshold broadcasts over
+    frames. Also the numerical oracle and grad twin of the fused path."""
     n_samples = chunk.shape[-1]
     re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
     ddt = _mask_dtype(re.dtype)

@@ -62,7 +62,12 @@ from noisereduce_tpu.ops.pallas_mask import (
     max_frames_for_vmem,
 )
 
-__all__ = ["fused_gate_nonstationary", "fused_gate_supported"]
+__all__ = [
+    "fused_gate_nonstationary",
+    "fused_gate_stationary",
+    "fused_stationary_threshold",
+    "fused_gate_supported",
+]
 
 _TB = 128    # time block (frames per MXU step)
 _FT = 128    # frequency tile width (lanes)
@@ -236,22 +241,19 @@ def _hann_stencil_lanes(re, im, scale):
 # ---------------------------------------------------------------------------
 # Kernel AM: hop-blocks -> windowed spectra + time-smoothed mask
 # ---------------------------------------------------------------------------
-def _am_kernel(
-    blocks_hbm, c_ref, s_ref, re_ref, im_ref, mask_ref, tc_ref, ts_ref, y_ref,
-    blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
-    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
-    scale, b, thresh, slope, vt,
+def _spectra_phases(
+    blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
+    tc_ref, ts_ref, *, n_tb, n_tiles, r, ext, bin0, j, col_dc, col_nyq, scale,
 ):
-    """One (chunk, F-tile) cell: everything from hop-blocks to the
-    (time-smoothed) mask, with the windowed spectra as side outputs.
+    """Hop-blocks -> windowed frame spectra, written into re_ref/im_ref.
 
     The hop-block input stays in HBM and is DMA'd into a persistent VMEM
     scratch once per chunk (at the first F-tile) — a pipelined VMEM input
-    would be double-buffered and blow the 16 MiB budget."""
+    would be double-buffered and blow the 16 MiB budget. FB is staged in
+    the output refs (phase 2 consumes each row window before overwriting)
+    plus an ext-row tail scratch.
+    """
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    t_pad = y_ref.shape[0]
-    bin0 = bin0_base + j * _CORE
 
     @pl.when(j == 0)
     def _():
@@ -306,6 +308,59 @@ def _am_kernel(
 
     jax.lax.fori_loop(0, n_tb, frame_body, 0)
 
+
+def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt):
+    """Blockwise time-axis 'same' triangular conv from src_ref (unsmoothed
+    mask) into the mask output ref, with 16-row aligned halo reads
+    (full-plane rolls blow the VMEM temp budget). Rows past t_real are
+    re-zeroed (smoothing spreads into them; downstream must see no frames
+    there)."""
+    t_pad = src_ref.shape[0]
+    nt = (len(vt) - 1) // 2
+    H = 16  # halo rows (requires nt <= 16, see fused_gate_supported)
+
+    def smooth_body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        blk = src_ref[pl.ds(s, _TB), :]
+        prev_start = pl.multiple_of(jnp.maximum(s - H, 0), H)
+        prev = src_ref[pl.ds(prev_start, H), :]
+        prev = jnp.where(tb == 0, 0.0, prev)
+        next_start = pl.multiple_of(jnp.minimum(s + _TB, t_pad - H), H)
+        nxt = src_ref[pl.ds(next_start, H), :]
+        nxt = jnp.where(tb == n_tb - 1, 0.0, nxt)
+        window = jnp.concatenate([prev, blk, nxt], axis=0)
+        acc = jnp.zeros((_TB, _FT), jnp.float32)
+        for d in range(2 * nt + 1):
+            sl = jax.lax.slice_in_dim(
+                window, H - nt + d, H - nt + d + _TB, axis=0
+            )
+            acc = acc + sl * jnp.float32(vt[d])
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+        mask_ref[0, pl.ds(s, _TB), :] = jnp.where(ridx < t_real, acc, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, smooth_body, 0)
+
+
+def _am_kernel(
+    blocks_hbm, c_ref, s_ref, re_ref, im_ref, mask_ref, tc_ref, ts_ref, y_ref,
+    blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
+    scale, b, thresh, slope, vt,
+):
+    """One (chunk, F-tile) cell: everything from hop-blocks to the
+    (time-smoothed) non-stationary mask, with the windowed spectra as side
+    outputs."""
+    j = pl.program_id(1)
+    t_pad = y_ref.shape[0]
+    bin0 = bin0_base + j * _CORE
+
+    _spectra_phases(
+        blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
+        tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
+        j=j, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+    )
+
     # ---- phase 3: IIR floor + sigmoid mask (magnitude recomputed from the
     # spectra refs per block; the backward pass stores the mask into y_ref
     # in place of the consumed forward state) ------------------------------
@@ -357,30 +412,94 @@ def _am_kernel(
 
     # ---- phase 4: blockwise time-axis triangular smoothing ---------------
     if vt is not None:
-        nt = (len(vt) - 1) // 2
-        H = 16  # halo rows (requires nt <= 16, see fused_gate_supported)
+        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
 
-        def smooth_body(tb, _):
-            s = pl.multiple_of(tb * _TB, _TB)
-            blk = y_ref[pl.ds(s, _TB), :]
-            prev_start = pl.multiple_of(jnp.maximum(s - H, 0), H)
-            prev = y_ref[pl.ds(prev_start, H), :]
-            prev = jnp.where(tb == 0, 0.0, prev)
-            next_start = pl.multiple_of(jnp.minimum(s + _TB, t_pad - H), H)
-            nxt = y_ref[pl.ds(next_start, H), :]
-            nxt = jnp.where(tb == n_tb - 1, 0.0, nxt)
-            window = jnp.concatenate([prev, blk, nxt], axis=0)
-            acc = jnp.zeros((_TB, _FT), jnp.float32)
-            for d in range(2 * nt + 1):
-                sl = jax.lax.slice_in_dim(
-                    window, H - nt + d, H - nt + d + _TB, axis=0
-                )
-                acc = acc + sl * jnp.float32(vt[d])
-            ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
-            mask_ref[0, pl.ds(s, _TB), :] = jnp.where(ridx < t_real, acc, 0.0)
-            return 0
 
-        jax.lax.fori_loop(0, n_tb, smooth_body, 0)
+def _as_kernel(
+    blocks_hbm, c_ref, s_ref, thresh_ref, re_ref, im_ref, mask_ref,
+    tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
+    scale, top_db, prop, vt,
+):
+    """Stationary twin of ``_am_kernel``: hop-blocks -> windowed spectra +
+    stationary mask (reference stationary.py:83-126).
+
+    mask = 1[amp_to_db(|Z_w|) > noise_thresh], with amp_to_db's per-bin
+    dynamic-range floor (max over time - top_db); the prop_decrease blend
+    happens BEFORE smoothing (the stationary-path quirk order,
+    stationary.py:108-114) so it lives here rather than after the banded
+    frequency conv.
+
+    Accuracy note: the binary compare is a discontinuity — a bin whose dB
+    margin to the threshold is below float32 resolution (~1e-5 dB) can flip
+    relative to a float64 run regardless of implementation (on fish.wav one
+    such borderline top_db-floor column bounds f32-vs-f64 agreement at
+    ~1.5e-3 of peak). Within float32 the kernel matches the staged jnp path
+    to ~5e-7."""
+    j = pl.program_id(1)
+    bin0 = bin0_base + j * _CORE
+
+    _spectra_phases(
+        blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
+        tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
+        j=j, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+    )
+
+    # ---- pass A: dB spectrogram (into y_ref) + running per-bin max -------
+    eps = jnp.float32(float(np.finfo(np.float64).eps))
+    log10e20 = jnp.float32(20.0 / np.log(10.0))
+
+    def db_body(tb, carry):
+        s = pl.multiple_of(tb * _TB, _TB)
+        rr = re_ref[0, pl.ds(s, _TB), :]
+        ii = im_ref[0, pl.ds(s, _TB), :]
+        db = jnp.log(jnp.sqrt(rr * rr + ii * ii) + eps) * log10e20
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+        db = jnp.where(ridx < t_real, db, jnp.float32(-1e30))
+        y_ref[pl.ds(s, _TB), :] = db
+        return jnp.maximum(carry, jnp.max(db, axis=0, keepdims=True))
+
+    maxdb = jax.lax.fori_loop(
+        0, n_tb, db_body, jnp.full((1, _FT), -1e30, jnp.float32)
+    )
+
+    # ---- pass B: threshold compare + blend (into y_ref, in place) --------
+    thr = thresh_ref[...][:1, :]  # row-replicated (8, _FT) tile
+    floor = maxdb - jnp.float32(top_db)
+
+    def mask_body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        db = jnp.maximum(y_ref[pl.ds(s, _TB), :], floor)
+        m = (db > thr).astype(jnp.float32)
+        m = m * jnp.float32(prop) + jnp.float32(1.0 - prop)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+        m = jnp.where(ridx < t_real, m, 0.0)
+        if vt is None:
+            mask_ref[0, pl.ds(s, _TB), :] = m
+        else:
+            y_ref[pl.ds(s, _TB), :] = m
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, mask_body, 0)
+
+    if vt is not None:
+        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
+
+
+def _spectra_kernel(
+    blocks_hbm, c_ref, s_ref, re_ref, im_ref, tc_ref, ts_ref,
+    blocks_ref, dma_sem,
+    *, n_tb, n_tiles, r, ext, bin0_base, col_dc, col_nyq, scale,
+):
+    """Spectra only (windowed STFT planes) — used for the stationary noise
+    threshold statistics."""
+    j = pl.program_id(1)
+    _spectra_phases(
+        blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
+        tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext,
+        bin0=bin0_base + j * _CORE, j=j, col_dc=col_dc, col_nyq=col_nyq,
+        scale=scale,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -527,7 +646,139 @@ def _fused_gate_bwd(cfg, interpret, vjp_fn, g):
 _fused_gate_cvjp.defvjp(_fused_gate_fwd, _fused_gate_bwd)
 
 
-def _fused_gate_impl(chunk, cfg, interpret):
+def fused_gate_stationary(
+    chunk: jax.Array,
+    noise_thresh: jax.Array,
+    cfg: GateConfig,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fast path for models.spectral_gate.gate_stationary on TPU
+    (reference stationary.py:83-126: binary dB-threshold mask, blend BEFORE
+    smoothing). Caller guarantees ``fused_gate_supported``."""
+    return _fused_stat_cvjp(chunk, noise_thresh, cfg, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_stat_cvjp(chunk, noise_thresh, cfg, interpret):
+    return _fused_gate_impl(chunk, cfg, interpret, noise_thresh=noise_thresh)
+
+
+def _fused_stat_fwd(chunk, noise_thresh, cfg, interpret):
+    from noisereduce_tpu.models.spectral_gate import _gate_stationary_jnp
+
+    out, vjp_fn = jax.vjp(
+        lambda c, t: _gate_stationary_jnp(c, t, cfg, "matmul"),
+        chunk, noise_thresh,
+    )
+    return out, vjp_fn
+
+
+def _fused_stat_bwd(cfg, interpret, vjp_fn, g):
+    return vjp_fn(g)
+
+
+_fused_stat_cvjp.defvjp(_fused_stat_fwd, _fused_stat_bwd)
+
+
+def fused_stationary_threshold(
+    y_noise: jax.Array, cfg: GateConfig, interpret: bool = False
+) -> jax.Array:
+    """Per-frequency stationary dB threshold via the fused STFT kernel
+    (mean + std*n_std over time of the noise dB spectrogram,
+    stationary.py:67-81; ddof=0). The statistics themselves are tiny XLA
+    reductions; the spectra come from the true-f32 kernel so borderline
+    threshold compares match the float64 semantics far better than XLA's
+    3xbf16 matmuls."""
+    scfg = cfg.stft
+    n_samples = y_noise.shape[-1]
+    re_w, im_w, n_frames, n_tiles = _fused_stft_planes(
+        y_noise, scfg, interpret
+    )
+    # gather the core copy of each bin out of the overlapped tile layout
+    n_bins = scfg.n_bins
+    g = np.arange(n_bins)
+    cols = (g // _CORE) * _FT + (g % _CORE) + _HALO
+    re = re_w[..., :n_frames, cols]
+    im = im_w[..., :n_frames, cols]
+    from noisereduce_tpu.ops.dsp import amp_to_db
+
+    db = amp_to_db(jnp.sqrt(re * re + im * im), top_db=80.0, axis=-2)
+    mean = jnp.mean(db, axis=-2)
+    std = jnp.std(db, axis=-2)
+    return (mean + std * cfg.n_std_thresh_stationary).astype(jnp.float32)
+
+
+def _fused_stft_planes(x, scfg, interpret):
+    """Windowed frame spectra in the overlapped tile layout:
+    (..., n) -> re_w, im_w of shape (B, t_pad, f_pad), plus meta."""
+    n_samples = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples
+    )
+    f_pad = n_tiles * _FT
+    n_tb = t_pad // _TB
+    n_bins = scfg.n_bins
+
+    x2 = x.reshape(B, n_samples).astype(jnp.float32)
+    pad = scfg.boundary_pad
+    need = n_blocks * hop
+    right = max(pad, need - n_samples - pad)
+    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
+    blocks = jnp.pad(
+        x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
+    )
+
+    c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
+    col_dc = _HALO - 1
+    col_nyq = int(n_bins - _tile_bins(n_tiles - 1)[0])
+    scale = (
+        1.0 / float(_analysis_window_np(scfg).sum())
+        if scfg.convention == Convention.SCIPY
+        else 1.0
+    )
+    sk = functools.partial(
+        _spectra_kernel,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0_base=-_HALO,
+        col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+    )
+
+    def spectra_kernel(b_ref, c_ref, s_ref, re_ref, im_ref, tc, ts, bv, sem):
+        sk(b_ref, c_ref[0], s_ref[0], re_ref, im_ref, tc, ts, bv, sem)
+
+    plane_spec = pl.BlockSpec(
+        (1, t_pad, _FT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    re_w, im_w = pl.pallas_call(
+        spectra_kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, hop, _FT), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hop, _FT), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(plane_spec, plane_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ext, _FT), jnp.float32),
+            pltpu.VMEM((ext, _FT), jnp.float32),
+            pltpu.VMEM((nb_pad, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(blocks, jnp.asarray(c_np), jnp.asarray(s_np))
+    re_w = re_w.reshape(batch_shape + (t_pad, f_pad))
+    im_w = im_w.reshape(batch_shape + (t_pad, f_pad))
+    return re_w, im_w, n_frames, n_tiles
+
+
+def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     scfg = cfg.stft
     n_samples = chunk.shape[-1]
     batch_shape = chunk.shape[:-1]
@@ -591,45 +842,85 @@ def _fused_gate_impl(chunk, cfg, interpret):
         (_TB, _FT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
 
-    L, d_fwd, d_bwd, _ = _consts_np(cfg.iir_b, _TB)
-    am = functools.partial(
-        _am_kernel,
-        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
-        bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
-        b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
-        slope=cfg.sigmoid_slope_nonstationary, vt=vt,
+    out_shapes3 = (
+        jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
     )
+    scratch = [
+        pltpu.VMEM((ext, _FT), jnp.float32),    # FB tail, real
+        pltpu.VMEM((ext, _FT), jnp.float32),    # FB tail, imag
+        pltpu.VMEM((t_pad, _FT), jnp.float32),  # dB / IIR state / raw mask
+        pltpu.VMEM((nb_pad, hop), jnp.float32),  # hop blocks (DMA'd per i)
+        pltpu.SemaphoreType.DMA(()),
+    ]
 
-    def am_kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
-                  re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
-        am(b_ref, c_ref[0], s_ref[0], re_ref, im_ref, mask_ref, tc, ts, y,
-           bv, sem, l_ref, lt_ref, df_ref, db_ref)
+    if noise_thresh is None:
+        L, d_fwd, d_bwd, _ = _consts_np(cfg.iir_b, _TB)
+        am = functools.partial(
+            _am_kernel,
+            n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+            bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+            b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
+            slope=cfg.sigmoid_slope_nonstationary, vt=vt,
+        )
 
-    re_w, im_w, mask = pl.pallas_call(
-        am_kernel,
-        grid=(B, n_tiles),
-        in_specs=[blocks_spec, cmat_spec, cmat_spec,
-                  iirmat_spec, iirmat_spec, vec_spec, vec_spec],
-        out_specs=(plane_spec, plane_spec, plane_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ext, _FT), jnp.float32),   # FB tail, real
-            pltpu.VMEM((ext, _FT), jnp.float32),   # FB tail, imag
-            pltpu.VMEM((t_pad, _FT), jnp.float32),  # IIR state / unsmoothed mask
-            pltpu.VMEM((nb_pad, hop), jnp.float32),  # hop blocks (DMA'd per i)
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(
-        blocks, jnp.asarray(c_np), jnp.asarray(s_np),
-        jnp.asarray(L), jnp.asarray(L.T),
-        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
-        jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
-    )
+        def am_kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
+                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+            am(b_ref, c_ref[0], s_ref[0], re_ref, im_ref, mask_ref, tc, ts, y,
+               bv, sem, l_ref, lt_ref, df_ref, db_ref)
+
+        re_w, im_w, mask = pl.pallas_call(
+            am_kernel,
+            grid=(B, n_tiles),
+            in_specs=[blocks_spec, cmat_spec, cmat_spec,
+                      iirmat_spec, iirmat_spec, vec_spec, vec_spec],
+            out_specs=(plane_spec, plane_spec, plane_spec),
+            out_shape=out_shapes3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(
+            blocks, jnp.asarray(c_np), jnp.asarray(s_np),
+            jnp.asarray(L), jnp.asarray(L.T),
+            jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
+            jnp.asarray(np.ascontiguousarray(np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
+        )
+    else:
+        # stationary: per-bin dB threshold, gathered into the overlapped
+        # tile layout, row-replicated to a full (8, _FT) tile per tile
+        bins = np.concatenate([_tile_bins(j) for j in range(n_tiles)])
+        valid = (bins >= 0) & (bins < n_bins)
+        idx = np.clip(bins, 0, n_bins - 1)
+        thr_flat = jnp.where(
+            jnp.asarray(valid),
+            noise_thresh.astype(jnp.float32)[jnp.asarray(idx)],
+            jnp.float32(1e30),
+        )
+        thr_tiles = jnp.tile(thr_flat.reshape(n_tiles, 1, _FT), (1, 8, 1))
+        thr_spec = pl.BlockSpec(
+            (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        ask = functools.partial(
+            _as_kernel,
+            n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+            bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+            top_db=80.0, prop=cfg.prop_decrease, vt=vt,
+        )
+
+        def as_kernel(b_ref, c_ref, s_ref, t_ref, re_ref, im_ref, mask_ref,
+                      tc, ts, y, bv, sem):
+            ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_ref, im_ref, mask_ref,
+                tc, ts, y, bv, sem)
+
+        re_w, im_w, mask = pl.pallas_call(
+            as_kernel,
+            grid=(B, n_tiles),
+            in_specs=[blocks_spec, cmat_spec, cmat_spec, thr_spec],
+            out_specs=(plane_spec, plane_spec, plane_spec),
+            out_shape=out_shapes3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles)
 
     # ---- XLA: frequency smoothing (banded matmul) + blend -------------------
     if n_grad_freq >= 1:
@@ -637,15 +928,19 @@ def _fused_gate_impl(chunk, cfg, interpret):
         mask = jnp.matmul(
             mask, w, preferred_element_type=jnp.float32, precision=_HIGHEST
         )
-    mask = mask * jnp.float32(cfg.prop_decrease) + jnp.float32(
-        1.0 - cfg.prop_decrease
-    )
-    # the blend puts (1 - prop) into padded frame rows too; re-zero them so
-    # garbage frames (real hop-blocks beyond the last frame) stay out of
-    # the OLA (the reference has no frames there at all)
-    if n_frames < t_pad:
-        row = jnp.arange(t_pad, dtype=jnp.int32)[None, :, None]
-        mask = jnp.where(row < n_frames, mask, 0.0)
+    if noise_thresh is None:
+        # non-stationary blends AFTER smoothing (nonstationary.py:78-84);
+        # the stationary blend already happened in-kernel BEFORE smoothing
+        # (stationary.py:108-114)
+        mask = mask * jnp.float32(cfg.prop_decrease) + jnp.float32(
+            1.0 - cfg.prop_decrease
+        )
+        # the blend puts (1 - prop) into padded frame rows too; re-zero them
+        # so garbage frames (real hop-blocks beyond the last frame) stay out
+        # of the OLA (the reference has no frames there at all)
+        if n_frames < t_pad:
+            row = jnp.arange(t_pad, dtype=jnp.int32)[None, :, None]
+            mask = jnp.where(row < n_frames, mask, 0.0)
 
     # ---- kernel B ------------------------------------------------------------
     idft_spec = pl.BlockSpec(

@@ -99,3 +99,81 @@ def test_fused_gate_grad_routes_through_jnp_twin():
     )(x)
     assert np.all(np.isfinite(np.asarray(g)))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Stationary fused path (kernel AS + banded matmul + kernel B)
+# ---------------------------------------------------------------------------
+STAT_CASES = [
+    ("default", 30000, 44100, (), {}),
+    ("batched", 50000, 48000, (2,), {}),
+    ("prop-decrease", 30000, 44100, (), dict(prop_decrease=0.6)),
+    ("prop-zero", 20000, 16000, (2,), dict(prop_decrease=0.0)),
+    ("no-smoothing", 30000, 44100, (),
+     dict(freq_mask_smooth_hz=None, time_mask_smooth_ms=None)),
+    ("tighter-thresh", 30000, 44100, (), dict(n_std_thresh_stationary=2.5)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,n,sr,batch,kw", STAT_CASES, ids=[c[0] for c in STAT_CASES]
+)
+def test_fused_stationary_matches_staged(name, n, sr, batch, kw):
+    from noisereduce_tpu.models.spectral_gate import _gate_stationary_jnp
+
+    cfg = GateConfig(sr=sr, stationary=True, **kw)
+    sm = cfg.smoothing
+    assert fused_gate_supported(cfg, n, sm[1] if sm else 0)
+    x = jnp.asarray(RNG.standard_normal(batch + (n,)), jnp.float32)
+    noise = jnp.asarray(RNG.standard_normal(20000), jnp.float32) * 0.5
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+
+    thr = stationary_noise_threshold(noise, cfg, method="matmul",
+                                     use_pallas=False)
+    ref = np.asarray(_gate_stationary_jnp(x, thr, cfg, method="matmul"),
+                     np.float64)
+    got = np.asarray(
+        _fused_gate_impl(x, cfg, interpret=True, noise_thresh=thr), np.float64
+    )
+    assert got.shape == ref.shape
+    dev = np.abs(got - ref).max()
+    scale = np.abs(ref).max()
+    assert dev <= 5e-5 * scale, f"{name}: rel dev {dev / scale:.3e}"
+
+
+def test_fused_stationary_threshold_matches_staged():
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+    from noisereduce_tpu.ops.pallas_pipeline import fused_stationary_threshold
+
+    cfg = GateConfig(sr=44100, stationary=True)
+    noise = jnp.asarray(RNG.standard_normal(30000), jnp.float32) * 0.3
+    a = np.asarray(stationary_noise_threshold(noise, cfg, method="matmul",
+                                              use_pallas=False), np.float64)
+    b = np.asarray(fused_stationary_threshold(noise, cfg, interpret=True),
+                   np.float64)
+    assert a.shape == b.shape
+    # dB-domain values; f32 statistics agree to ~1e-3 dB
+    assert np.abs(a - b).max() <= 2e-3
+
+
+def test_fused_stationary_grad_routes_through_jnp_twin():
+    from noisereduce_tpu.models.spectral_gate import (
+        _gate_stationary_jnp, stationary_noise_threshold,
+    )
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_stationary
+
+    cfg = GateConfig(sr=8000, stationary=True)
+    x = jnp.asarray(RNG.standard_normal(9000), jnp.float32)
+    noise = jnp.asarray(RNG.standard_normal(8000), jnp.float32)
+    thr = stationary_noise_threshold(noise, cfg, method="matmul",
+                                     use_pallas=False)
+    g = jax.grad(
+        lambda a: jnp.mean(
+            fused_gate_stationary(a, thr, cfg, interpret=True) ** 2
+        )
+    )(x)
+    g_ref = jax.grad(
+        lambda a: jnp.mean(_gate_stationary_jnp(a, thr, cfg, "matmul") ** 2)
+    )(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
