@@ -99,7 +99,7 @@ def main():
     def torch_conv(y):
         def call(chunk):
             if chunk.ndim == 3:
-                return jax.vmap(torch_chunk, in_axes=-2, out_axes=-2)(chunk)
+                return gate.batched_chunks(chunk, method="matmul")
             return torch_chunk(chunk)
 
         return process_chunked(call, y, CHUNK, PAD)

@@ -101,10 +101,8 @@ def _run_torch_gate(
 
     def call(chunk, *extra):
         xn = extra[0] if extra else None
-        if chunk.ndim == 3:  # (channels, n_chunks, view): vmap the chunk axis
-            return jax.vmap(
-                lambda c: one(c, xn), in_axes=-2, out_axes=-2
-            )(chunk)
+        if chunk.ndim == 3:  # (channels, n_chunks, view)
+            return gate.batched_chunks(chunk, xn, method=method)
         return one(chunk, xn)
 
     extra = () if y_noise is None else (y_noise,)
@@ -141,14 +139,7 @@ def _noise_threshold_jit(y_noise_mono, cfg, method):
 
 @functools.partial(jax.jit, static_argnames=("gate", "method"))
 def _group_torch(chunks, xn, gate, method):
-    def one(chunk):  # (channels, view)
-        out = gate(chunk, xn, method=method)
-        deficit = chunk.shape[-1] - out.shape[-1]
-        if deficit:
-            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
-        return out
-
-    return jax.vmap(one, in_axes=-2, out_axes=-2)(chunks)
+    return gate.batched_chunks(chunks, xn, method=method)
 
 
 def _run_chunked_with_progress(

@@ -129,9 +129,15 @@ class TPUGate:
         x: jax.Array,
         xn: Optional[jax.Array] = None,
         method: str = "auto",
+        use_pallas: object = "auto",
     ) -> jax.Array:
         """Denoise (batch, signal_length) -> same shape
-        (torchgate.py:200-264)."""
+        (torchgate.py:200-264).
+
+        On TPU with supported geometry the whole gate runs as fused Pallas
+        kernels (ops/pallas_pipeline.fused_tpugate); the staged jnp body
+        below is the CPU/parity path and the grad twin.
+        """
         if x.ndim != 2:
             raise ValueError("x must have shape (batch, signal_length)")
         if x.shape[-1] < self.win_length * 2:
@@ -142,6 +148,85 @@ class TPUGate:
             if xn.shape[-1] < self.win_length * 2:
                 raise ValueError(f"xn must be bigger than {self.win_length * 2}")
 
+        if use_pallas is not False and x.dtype in (jnp.float32, jnp.bfloat16):
+            from noisereduce_tpu.models.spectral_gate import _tpu_available
+            from noisereduce_tpu.ops.pallas_pipeline import (
+                fused_tpugate,
+                fused_tpugate_supported,
+            )
+
+            wanted = use_pallas is True or (
+                use_pallas == "auto" and _tpu_available()
+            )
+            xn_len = None if xn is None else xn.shape[-1]
+            if wanted and fused_tpugate_supported(self, x.shape[-1], xn_len):
+                return fused_tpugate(x, xn, self)
+        return self._call_jnp(x, xn, method)
+
+    def batched_chunks(
+        self,
+        chunks: jax.Array,
+        xn: Optional[jax.Array] = None,
+        method: str = "auto",
+        use_pallas: object = "auto",
+    ) -> jax.Array:
+        """Apply the gate over (channels, n_chunks, view) halo'd chunks,
+        zero-filling each chunk's natural istft deficit back to ``view``.
+
+        The fused Pallas path cannot be vmapped over (its hop-block operand
+        lives in HBM), so when it is eligible the chunk axis flattens into
+        the batch axis — one kernel launch for all chunks — with a
+        multi-channel noise clip mapped channel-major onto the flattened
+        rows. Otherwise the chunk axis is vmapped over the staged path
+        (the reference's per-chunk loop, base.py:162-165)."""
+        ch, k, view = chunks.shape
+
+        def one(c, x_n):
+            out = self(c, x_n, method=method, use_pallas=use_pallas)
+            deficit = view - out.shape[-1]
+            if deficit:
+                out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
+            return out
+
+        if use_pallas is not False and chunks.dtype in (
+            jnp.float32, jnp.bfloat16
+        ):
+            from noisereduce_tpu.models.spectral_gate import _tpu_available
+            from noisereduce_tpu.ops.pallas_pipeline import (
+                fused_tpugate,
+                fused_tpugate_supported,
+            )
+
+            wanted = use_pallas is True or (
+                use_pallas == "auto" and _tpu_available()
+            )
+            xn2 = None if xn is None else (xn if xn.ndim == 2 else xn[None])
+            # reference broadcast semantics: xn batch is 1 or == channels
+            divisible = xn2 is None or xn2.shape[0] in (1, ch)
+            if (
+                wanted
+                and divisible
+                and fused_tpugate_supported(
+                    self, view, None if xn2 is None else xn2.shape[-1]
+                )
+            ):
+                flat = fused_tpugate(chunks.reshape(ch * k, view), xn2, self)
+                deficit = view - flat.shape[-1]
+                if deficit:
+                    flat = jnp.pad(flat, [(0, 0), (0, deficit)])
+                return flat.reshape(ch, k, view)
+        return jax.vmap(
+            lambda c: one(c, xn), in_axes=-2, out_axes=-2
+        )(chunks)
+
+    def _call_jnp(
+        self,
+        x: jax.Array,
+        xn: Optional[jax.Array] = None,
+        method: str = "auto",
+    ) -> jax.Array:
+        """Staged XLA pipeline — the numerical oracle and grad twin of the
+        fused Pallas path."""
         scfg = self.stft_config
         # time-major split-complex internally: (batch, frames, bins) re/im —
         # the DFT's native layout, no complex64 materialization

@@ -137,15 +137,17 @@ def _tri_norm_np(n_grad: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _freq_band_np(n_grad_freq: int, n_bins: int, n_tiles: int) -> np.ndarray:
-    """Banded (f_pad, f_pad) matrix realizing the 'same' triangular conv
-    along bins in the overlapped-tile layout: mask @ W.
+def _band_from_taps_np(taps: tuple, n_bins: int, n_tiles: int) -> np.ndarray:
+    """Banded (f_pad, f_pad) matrix realizing a 'same' cross-correlation
+    along bins in the overlapped-tile layout: (mask @ W)[.., c] =
+    sum_d taps[n+d]·mask[.., bin(c)+d].
 
     Rows: only core lanes with in-range bins (each global bin read exactly
     once). Columns: every lane whose bin is in range — halo copies of a bin
     receive the same smoothed value as its core copy, so the downstream
     synthesis stencil sees consistent neighbors."""
-    vf = _tri_norm_np(n_grad_freq)
+    taps = np.asarray(taps, np.float32)
+    n = (len(taps) - 1) // 2
     f_pad = n_tiles * _FT
     w = np.zeros((f_pad, f_pad), np.float32)
     bins = np.concatenate([_tile_bins(j) for j in range(n_tiles)])
@@ -155,9 +157,38 @@ def _freq_band_np(n_grad_freq: int, n_bins: int, n_tiles: int) -> np.ndarray:
         if not core[rr] or not (0 <= bins[rr] < n_bins):
             continue
         for cc in range(f_pad):
-            d = bins[cc] - bins[rr]
-            if 0 <= bins[cc] < n_bins and abs(d) <= n_grad_freq:
-                w[rr, cc] = vf[n_grad_freq + d]
+            d = bins[rr] - bins[cc]
+            if 0 <= bins[cc] < n_bins and abs(d) <= n:
+                w[rr, cc] = taps[n + d]
+    return w
+
+
+def _freq_band_np(n_grad_freq: int, n_bins: int, n_tiles: int) -> np.ndarray:
+    """Triangular-taps banded matrix (the NumPy engines' smoother)."""
+    return _band_from_taps_np(
+        tuple(_tri_norm_np(n_grad_freq).tolist()), n_bins, n_tiles
+    )
+
+
+def _movemean_halo_blocks(n_move: int) -> int:
+    """Halo blocks per side needed by the moving-average window."""
+    left = (n_move - 1) // 2
+    right = (n_move - 1) - left
+    return -(-max(left, right) // _TB)
+
+
+@functools.lru_cache(maxsize=None)
+def _movemean_band_np(n_move: int) -> np.ndarray:
+    """(_TB, (2K+1)*_TB) ones/n band for the torch moving-average noise
+    floor: ma = band @ (K prev | cur | K next block window): ma[t] = mean of
+    window rows [K*_TB+t-left, K*_TB+t+right] (torch conv1d 'same' zero
+    padding, torchgate.py:179-190)."""
+    left = (n_move - 1) // 2
+    right = (n_move - 1) - left
+    K = _movemean_halo_blocks(n_move)
+    w = np.zeros((_TB, (2 * K + 1) * _TB), np.float32)
+    for t in range(_TB):
+        w[t, K * _TB + t - left : K * _TB + t + right + 1] = 1.0 / n_move
     return w
 
 
@@ -419,7 +450,7 @@ def _as_kernel(
     blocks_hbm, c_ref, s_ref, thresh_ref, re_ref, im_ref, mask_ref,
     tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
-    scale, top_db, prop, vt,
+    scale, top_db, prop, vt, self_stats=False, n_std=0.0,
 ):
     """Stationary twin of ``_am_kernel``: hop-blocks -> windowed spectra +
     stationary mask (reference stationary.py:83-126).
@@ -463,13 +494,43 @@ def _as_kernel(
         0, n_tb, db_body, jnp.full((1, _FT), -1e30, jnp.float32)
     )
 
-    # ---- pass B: threshold compare + blend (into y_ref, in place) --------
-    thr = thresh_ref[...][:1, :]  # row-replicated (8, _FT) tile
     floor = maxdb - jnp.float32(top_db)
 
+    if self_stats:
+        # torch stationary with xn=None: threshold from the signal's own
+        # CLAMPED dB statistics, ddof=1 (torchgate.py:126-165; torch.std
+        # default). Clamp in place (pass B reads the clamped plane) and
+        # accumulate per-bin moments.
+        def mom_body(tb, carry):
+            sm, sq = carry
+            s = pl.multiple_of(tb * _TB, _TB)
+            db = jnp.maximum(y_ref[pl.ds(s, _TB), :], floor)
+            y_ref[pl.ds(s, _TB), :] = db
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+            valid = ridx < t_real
+            dbv = jnp.where(valid, db, 0.0)
+            sm = sm + jnp.sum(dbv, axis=0, keepdims=True)
+            sq = sq + jnp.sum(jnp.where(valid, db * db, 0.0), axis=0,
+                              keepdims=True)
+            return sm, sq
+
+        z = jnp.zeros((1, _FT), jnp.float32)
+        sm, sq = jax.lax.fori_loop(0, n_tb, mom_body, (z, z))
+        nfr = jnp.float32(t_real)
+        mean = sm / nfr
+        var = jnp.maximum(sq - nfr * mean * mean, 0.0) / jnp.float32(
+            max(t_real - 1, 1)
+        )
+        thr = mean + jnp.sqrt(var) * jnp.float32(n_std)
+    else:
+        thr = thresh_ref[...][:1, :]  # row-replicated (8, _FT) tile
+
+    # ---- pass B: threshold compare + blend (into y_ref, in place) --------
     def mask_body(tb, _):
         s = pl.multiple_of(tb * _TB, _TB)
-        db = jnp.maximum(y_ref[pl.ds(s, _TB), :], floor)
+        db = y_ref[pl.ds(s, _TB), :]
+        if not self_stats:  # self-stats pass already clamped in place
+            db = jnp.maximum(db, floor)
         m = (db > thr).astype(jnp.float32)
         m = m * jnp.float32(prop) + jnp.float32(1.0 - prop)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
@@ -483,6 +544,85 @@ def _as_kernel(
     jax.lax.fori_loop(0, n_tb, mask_body, 0)
 
     if vt is not None:
+        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
+
+
+def _mt_kernel(
+    blocks_hbm, c_ref, s_ref, band_ref, re_ref, im_ref, mask_ref,
+    tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
+    scale, n_thresh, temp, prop, vt,
+):
+    """Torch-convention non-stationary mask (TorchGate, torchgate.py:167-198):
+    moving-average noise floor + temperature sigmoid + pre-smoothing
+    prop_decrease blend (torch-path order, torchgate.py:241-249).
+
+    The 'same' moving average runs as one (_TB, (2K+1)*_TB) ones/n band
+    matmul per time block over an aligned K-blocks-per-side window — zero
+    padding at the plane edges matches torch conv1d's. Like the fused
+    kernels' IIR floor, an exactly-zero floor takes a safe divisor instead
+    of the reference's 0/0 NaN.
+    """
+    j = pl.program_id(1)
+    t_pad = y_ref.shape[0]
+    bin0 = bin0_base + j * _CORE
+
+    _spectra_phases(
+        blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
+        tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
+        j=j, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+    )
+
+    # ---- pass 1: |Z| into y_ref ------------------------------------------
+    def mag_body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        rr = re_ref[0, pl.ds(s, _TB), :]
+        ii = im_ref[0, pl.ds(s, _TB), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+        y_ref[pl.ds(s, _TB), :] = jnp.where(
+            ridx < t_real, jnp.sqrt(rr * rr + ii * ii), 0.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, mag_body, 0)
+
+    # ---- pass 2: moving average + temperature sigmoid + blend -------------
+    K = (band_ref.shape[-1] // _TB - 1) // 2
+
+    def ma_body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        parts = []
+        for o in range(-K, K + 1):
+            start = pl.multiple_of(
+                jnp.clip(s + o * _TB, 0, t_pad - _TB), _TB
+            )
+            blk = y_ref[pl.ds(start, _TB), :]
+            oob = (tb + o < 0) | (tb + o > n_tb - 1)
+            parts.append(jnp.where(oob, 0.0, blk))
+        cur = parts[K]
+        window = jnp.concatenate(parts, axis=0)
+        ma = jnp.dot(band_ref[...], window, preferred_element_type=jnp.float32,
+                     precision=_HIGHEST)
+        safe = jnp.where(ma == 0.0, 1.0, ma)
+        ratio = (cur - ma) / safe
+        m = jax.nn.sigmoid((ratio - jnp.float32(n_thresh)) / jnp.float32(temp))
+        m = m * jnp.float32(prop) + jnp.float32(1.0 - prop)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+        m = jnp.where(ridx < t_real, m, 0.0)
+        mask_ref[0, pl.ds(s, _TB), :] = m
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, ma_body, 0)
+
+    # ---- pass 3: time-axis smoothing (SVD rank-1 of the torch kernel) ----
+    if vt is not None:
+        # stage the unsmoothed mask in y_ref (mag is dead), then smooth back
+        def copy_body(tb, _):
+            s = pl.multiple_of(tb * _TB, _TB)
+            y_ref[pl.ds(s, _TB), :] = mask_ref[0, pl.ds(s, _TB), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_tb, copy_body, 0)
         _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
 
 
@@ -984,3 +1124,306 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     elif out_len > n_samples:
         y = y[:, :n_samples]
     return y.reshape(batch_shape + (n_samples,)).astype(chunk.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Torch-convention (TPUGate) fused path
+# ---------------------------------------------------------------------------
+def fused_tpugate_supported(gate, n_samples: int, xn_samples=None) -> bool:
+    """Static eligibility of the fused kernels for a TPUGate call.
+
+    Same structural constraints as the scipy path, plus: TorchGate's window
+    must span the FFT (win == n_fft — the centered zero-padded window would
+    break the Hann-in-frequency identity), and the moving-average floor must
+    fit one block (n_movemean <= 128).
+
+    Note on the window: the reference builds its Hann in float32
+    (torch.hann_window default); the kernels use the exact periodic Hann as
+    a frequency stencil. The difference is <= 1 ulp of the window (~6e-8 of
+    the spectra) — far below the torch path's own f32 mask-pipeline noise
+    (tests/test_reduce_noise_parity.py).
+    """
+    scfg = gate.stft_config
+    if scfg.convention != Convention.TORCH:
+        return False
+    if scfg.win_length != scfg.n_fft:
+        return False
+    win, hop = scfg.frame_length, scfg.hop_length
+    if win % hop or hop % 128:
+        return False
+    r = win // hop
+    if r not in (2, 4):
+        return False
+    smoothing = gate.smoothing
+    if (smoothing[1] if smoothing else 0) > 16:
+        return False
+    if gate.nonstationary and not (
+        1 <= gate.n_movemean_nonstationary <= 4 * _TB
+    ):
+        return False  # moving-average window: <= 2 halo blocks per side
+    lengths = [n_samples] + ([xn_samples] if xn_samples else [])
+    for ns in lengths:
+        nf = scfg.n_frames(ns)
+        tp = -(-nf // _TB) * _TB
+        if nf > max_frames_for_vmem() or tp - nf < r - 1:
+            return False
+    return True
+
+
+def fused_tpugate(x, xn, gate, interpret: bool = False):
+    """Drop-in fast path for TPUGate.__call__ on TPU (reference
+    torchgate/torchgate.py:200-264): torch stft/istft conventions, the
+    moving-average or dB-stats mask, and the SVD rank-1 factorization of
+    the f32-rounded smoothing kernel (residual ~1e-8, orders below the
+    reference's own oneDNN f32 conv noise). Returns torch.istft's natural
+    (n_frames-1)*hop length. Caller guarantees ``fused_tpugate_supported``.
+    """
+    if xn is None:
+        return _fused_tpugate_cvjp1(x, gate, interpret)
+    return _fused_tpugate_cvjp2(x, xn, gate, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fused_tpugate_cvjp1(x, gate, interpret):
+    return _fused_torch_impl(x, None, gate, interpret)
+
+
+def _fused_tpugate1_fwd(x, gate, interpret):
+    out, vjp_fn = jax.vjp(lambda a: gate._call_jnp(a, None, "matmul"), x)
+    return out, vjp_fn
+
+
+def _fused_tpugate1_bwd(gate, interpret, vjp_fn, g):
+    return vjp_fn(g)
+
+
+_fused_tpugate_cvjp1.defvjp(_fused_tpugate1_fwd, _fused_tpugate1_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_tpugate_cvjp2(x, xn, gate, interpret):
+    return _fused_torch_impl(x, xn, gate, interpret)
+
+
+def _fused_tpugate2_fwd(x, xn, gate, interpret):
+    out, vjp_fn = jax.vjp(
+        lambda a, b: gate._call_jnp(a, b, "matmul"), x, xn
+    )
+    return out, vjp_fn
+
+
+def _fused_tpugate2_bwd(gate, interpret, vjp_fn, g):
+    return vjp_fn(g)
+
+
+_fused_tpugate_cvjp2.defvjp(_fused_tpugate2_fwd, _fused_tpugate2_bwd)
+
+
+def _torch_threshold_stats(xn2, gate, interpret):
+    """(batch_n, n_bins) stationary threshold from a noise clip's fused
+    spectra: amp_to_db(top_db=40) then mean + std(ddof=1)*n_std over frames
+    (torchgate.py:126-165)."""
+    scfg = gate.stft_config
+    re_w, im_w, n_frames, n_tiles = _fused_stft_planes(xn2, scfg, interpret)
+    n_bins = scfg.n_bins
+    g = np.arange(n_bins)
+    cols = (g // _CORE) * _FT + (g % _CORE) + _HALO
+    re = re_w[..., :n_frames, cols]
+    im = im_w[..., :n_frames, cols]
+    from noisereduce_tpu.ops.dsp import amp_to_db
+
+    db = amp_to_db(jnp.sqrt(re * re + im * im), top_db=40.0, axis=-2)
+    mean = jnp.mean(db, axis=-2)
+    n = db.shape[-2]
+    var = jnp.var(db, axis=-2) * (n / max(n - 1, 1))
+    return (mean + jnp.sqrt(var) * gate.n_std_thresh_stationary).astype(
+        jnp.float32
+    )
+
+
+def _fused_torch_impl(x, xn, gate, interpret):
+    scfg = gate.stft_config
+    n_samples = x.shape[-1]
+    B = x.shape[0]  # TPUGate contract: (batch, signal_length)
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples
+    )
+    f_pad = n_tiles * _FT
+    n_tb = t_pad // _TB
+    n_bins = scfg.n_bins
+
+    x2 = x.reshape(B, n_samples).astype(jnp.float32)
+    pad = scfg.boundary_pad
+    need = n_blocks * hop
+    right = max(pad, need - n_samples - pad)
+    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
+    blocks = jnp.pad(
+        x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
+    )
+
+    c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
+    ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
+    col_dc = _HALO - 1
+    col_nyq = int(n_bins - _tile_bins(n_tiles - 1)[0])
+    bin0_base = -_HALO
+
+    # SVD rank-1 factors of the reference's f32-rounded smoothing kernel
+    # (ops/dsp._torchgate_kernel_svd_np; trailing ranks are ~1e-8 rounding
+    # noise). rows[0] = sigma0*u0 (freq taps), cols[0] = v0 (time taps).
+    smoothing = gate.smoothing
+    if smoothing is not None:
+        from noisereduce_tpu.ops.dsp import _torchgate_kernel_svd_np
+
+        rows_np, cols_np = _torchgate_kernel_svd_np(*smoothing)
+        freq_taps = tuple(np.asarray(rows_np[0], np.float64).tolist())
+        vt = tuple(np.asarray(cols_np[0], np.float64).tolist())
+    else:
+        freq_taps = None
+        vt = None
+
+    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    cmat_spec = pl.BlockSpec(
+        (1, hop, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = pl.BlockSpec(
+        (1, t_pad, _FT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    out_shapes3 = (
+        jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32),
+    )
+    scratch = [
+        pltpu.VMEM((ext, _FT), jnp.float32),
+        pltpu.VMEM((ext, _FT), jnp.float32),
+        pltpu.VMEM((t_pad, _FT), jnp.float32),
+        pltpu.VMEM((nb_pad, hop), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    common = dict(
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+        bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=1.0,
+    )
+
+    if gate.nonstationary:
+        band_np = _movemean_band_np(gate.n_movemean_nonstationary)
+        band_spec = pl.BlockSpec(
+            band_np.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        )
+        mt = functools.partial(
+            _mt_kernel, **common,
+            n_thresh=gate.n_thresh_nonstationary,
+            temp=gate.temp_coeff_nonstationary,
+            prop=gate.prop_decrease, vt=vt,
+        )
+
+        def mt_kernel(b_ref, c_ref, s_ref, band_ref,
+                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+            mt(b_ref, c_ref[0], s_ref[0], band_ref, re_ref, im_ref, mask_ref,
+               tc, ts, y, bv, sem)
+
+        re_w, im_w, mask = pl.pallas_call(
+            mt_kernel,
+            grid=(B, n_tiles),
+            in_specs=[blocks_spec, cmat_spec, cmat_spec, band_spec],
+            out_specs=(plane_spec, plane_spec, plane_spec),
+            out_shape=out_shapes3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(blocks, jnp.asarray(c_np), jnp.asarray(s_np), jnp.asarray(band_np))
+    else:
+        self_stats = xn is None
+        if self_stats:
+            thr_tiles = jnp.zeros((1, n_tiles, 8, _FT), jnp.float32)
+            reps = B
+        else:
+            xn2 = xn if xn.ndim == 2 else xn[None]
+            bn = xn2.shape[0]
+            # torch broadcast semantics: xn batch 1 broadcasts; otherwise
+            # batch rows map channel-major onto xn rows (callers flattening
+            # a (channels, chunks) axis guarantee B % bn == 0)
+            reps = B // bn
+            thr = _torch_threshold_stats(
+                xn2.astype(jnp.float32), gate, interpret
+            )  # (bn, n_bins)
+            bins = np.concatenate([_tile_bins(j) for j in range(n_tiles)])
+            valid = (bins >= 0) & (bins < n_bins)
+            idx = np.clip(bins, 0, n_bins - 1)
+            thr_flat = jnp.where(
+                jnp.asarray(valid)[None],
+                thr[:, jnp.asarray(idx)],
+                jnp.float32(1e30),
+            )  # (bn, f_pad)
+            thr_tiles = jnp.tile(
+                thr_flat.reshape(-1, n_tiles, 1, _FT), (1, 1, 8, 1)
+            )
+        thr_spec = pl.BlockSpec(
+            (1, 1, 8, _FT),
+            lambda i, j: (i // reps, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        ask = functools.partial(
+            _as_kernel, **common,
+            top_db=40.0, prop=gate.prop_decrease, vt=vt,
+            self_stats=self_stats, n_std=gate.n_std_thresh_stationary,
+        )
+
+        def as_kernel(b_ref, c_ref, s_ref, t_ref,
+                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+            ask(b_ref, c_ref[0], s_ref[0], t_ref[0, 0], re_ref, im_ref,
+                mask_ref, tc, ts, y, bv, sem)
+
+        re_w, im_w, mask = pl.pallas_call(
+            as_kernel,
+            grid=(B, n_tiles),
+            in_specs=[blocks_spec, cmat_spec, cmat_spec, thr_spec],
+            out_specs=(plane_spec, plane_spec, plane_spec),
+            out_shape=out_shapes3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles)
+
+    # ---- XLA: frequency smoothing (rank-1 taps, banded matmul) ---------------
+    if freq_taps is not None:
+        w = jnp.asarray(_band_from_taps_np(freq_taps, n_bins, n_tiles))
+        mask = jnp.matmul(
+            mask, w, preferred_element_type=jnp.float32, precision=_HIGHEST
+        )
+    # (the prop_decrease blend already happened in-kernel BEFORE smoothing —
+    # the torch-path order, torchgate.py:241-249)
+
+    # ---- kernel B (post=1: torch applies no win_sum rescale) -----------------
+    idft_spec = pl.BlockSpec(
+        (1, _FT, hop), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, t_pad, hop), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bk = functools.partial(
+        _apply_istft_kernel,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
+        col_dc=col_dc, col_nyq=col_nyq, post=1.0,
+    )
+
+    def istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, out_ref):
+        bk(re_ref, im_ref, m_ref, ci_ref[0], si_ref[0], out_ref)
+
+    out_blocks = pl.pallas_call(
+        istft_kernel,
+        grid=(B, n_tiles),
+        in_specs=[plane_spec, plane_spec, plane_spec, idft_spec, idft_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32),
+        interpret=interpret,
+    )(re_w, im_w, mask, jnp.asarray(ci_np), jnp.asarray(si_np))
+
+    # ---- XLA: torch istft tail: trim n_fft//2, natural length, envelope ------
+    full = win + (n_frames - 1) * hop
+    y = out_blocks.reshape(B, t_pad * hop)[:, :full]
+    trim = scfg.n_fft // 2
+    out_len = (n_frames - 1) * hop
+    y = y[:, trim : trim + out_len]
+    norm = _ola_norm_np(scfg, n_frames)[trim : trim + out_len]
+    norm = np.where(norm > 1e-11, norm, 1.0)
+    y = y / jnp.asarray(norm, jnp.float32)
+    return y.astype(x.dtype)

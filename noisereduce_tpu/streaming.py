@@ -81,17 +81,10 @@ def _batch_stationary_sharded(batch, thresh, cfg, method, mesh, axis_name):
     jax.jit, static_argnames=("gate", "method", "mesh", "axis_name")
 )
 def _batch_torch_sharded(batch, xn, gate, method, mesh, axis_name):
-    def per_chunk(chunks):  # local (channels, k, view)
-        def one(chunk):
-            out = gate(chunk, xn, method=method)
-            deficit = chunk.shape[-1] - out.shape[-1]
-            if deficit:
-                out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
-            return out
-
-        return jax.vmap(one, in_axes=-2, out_axes=-2)(chunks)
-
-    return shard_filter(per_chunk, batch, mesh, axis_name)
+    return shard_filter(
+        lambda chunks: gate.batched_chunks(chunks, xn, method=method),
+        batch, mesh, axis_name,
+    )
 
 
 def reduce_noise_file(

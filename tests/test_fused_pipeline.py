@@ -177,3 +177,87 @@ def test_fused_stationary_grad_routes_through_jnp_twin():
     )(x)
     assert np.all(np.isfinite(np.asarray(g)))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Torch-convention (TPUGate) fused path
+# ---------------------------------------------------------------------------
+TORCH_CASES = [
+    ("nonstat-default", dict(sr=16000, nonstationary=True), (4, 64000), None),
+    ("nonstat-move125",
+     dict(sr=16000, nonstationary=True, n_movemean_nonstationary=125),
+     (2, 64000), None),
+    ("nonstat-prop",
+     dict(sr=16000, nonstationary=True, prop_decrease=0.5), (2, 48000), None),
+    ("stat-self", dict(sr=16000, nonstationary=False), (3, 48000), None),
+    ("stat-xn1d", dict(sr=16000, nonstationary=False), (2, 48000), (24000,)),
+    ("stat-xn2d", dict(sr=16000, nonstationary=False), (2, 48000), (2, 24000)),
+    ("nonstat-44k", dict(sr=44100, nonstationary=True), (1, 60000), None),
+]
+
+
+@pytest.mark.parametrize(
+    "name,kw,xshape,xnshape", TORCH_CASES, ids=[c[0] for c in TORCH_CASES]
+)
+def test_fused_tpugate_matches_staged(name, kw, xshape, xnshape):
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops.pallas_pipeline import (
+        _fused_torch_impl, fused_tpugate_supported,
+    )
+
+    g = TPUGate(**kw)
+    xn_len = xnshape[-1] if xnshape else None
+    assert fused_tpugate_supported(g, xshape[-1], xn_len)
+    x = jnp.asarray(RNG.standard_normal(xshape), jnp.float32)
+    xn = (None if xnshape is None
+          else jnp.asarray(RNG.standard_normal(xnshape), jnp.float32) * 0.5)
+    ref = np.asarray(g._call_jnp(x, xn, method="matmul"), np.float64)
+    got = np.asarray(_fused_torch_impl(x, xn, g, True), np.float64)
+    assert got.shape == ref.shape
+    dev = np.abs(got - ref).max()
+    scale = np.abs(ref).max()
+    # exact-Hann stencil vs the f32-quantized torch window (~6e-8) plus f32
+    # accumulation-order differences
+    assert dev <= 5e-5 * scale, f"{name}: rel dev {dev / scale:.3e}"
+
+
+def test_tpugate_dispatch_uses_jnp_on_cpu():
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+
+    g = TPUGate(sr=16000, nonstationary=True)
+    x = jnp.asarray(RNG.standard_normal((2, 48000)), jnp.float32)
+    a = g(x, method="matmul", use_pallas="auto")
+    b = g(x, method="matmul", use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_tpugate_grad_routes_through_jnp_twin():
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops.pallas_pipeline import fused_tpugate
+
+    g = TPUGate(sr=16000, nonstationary=True)
+    x = jnp.asarray(RNG.standard_normal((2, 48000)), jnp.float32)
+    grad = jax.grad(
+        lambda a: jnp.mean(fused_tpugate(a, None, g, interpret=True) ** 2)
+    )(x)
+    grad_ref = jax.grad(
+        lambda a: jnp.mean(g._call_jnp(a, None, "matmul") ** 2)
+    )(x)
+    assert np.all(np.isfinite(np.asarray(grad)))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               atol=1e-7)
+
+
+def test_fused_tpugate_unsupported_geometries():
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops.pallas_pipeline import fused_tpugate_supported
+
+    # window shorter than n_fft breaks the Hann-in-frequency identity
+    assert not fused_tpugate_supported(
+        TPUGate(sr=16000, n_fft=2048, win_length=1024), 64000)
+    # hop not lane-aligned
+    assert not fused_tpugate_supported(TPUGate(sr=8000, n_fft=256), 64000)
+    # moving-average floor wider than the kernel's 2-halo-block window
+    assert not fused_tpugate_supported(
+        TPUGate(sr=16000, nonstationary=True,
+                n_movemean_nonstationary=600), 64000)
