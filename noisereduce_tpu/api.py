@@ -47,6 +47,26 @@ __all__ = ["reduce_noise"]
 # ---------------------------------------------------------------------------
 # jitted pipeline entry points (config objects are static)
 # ---------------------------------------------------------------------------
+def _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
+    """Whole-body fused chunked path: one launch, hop blocks gathered
+    straight from the padded signal (no chunk-view materialization)."""
+    if use_pallas is False or mesh is not None or mpc:
+        return False
+    if y2d.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if y2d.shape[-1] <= chunk_size:
+        return False  # unchunked path has different (exact) view geometry
+    from noisereduce_tpu.models.spectral_gate import _tpu_available
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_supported
+
+    wanted = use_pallas is True or (use_pallas == "auto" and _tpu_available())
+    smoothing = cfg.smoothing
+    n_grad_time = smoothing[1] if smoothing else 0
+    return wanted and fused_gate_supported(
+        cfg, chunk_size + 2 * padding, n_grad_time
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
@@ -56,6 +76,12 @@ def _run_stationary(
     axis_name="chunks", mpc=0,
 ):
     thresh = stationary_noise_threshold(y_noise_mono, cfg, method=method)
+    if _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, "auto"):
+        from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+        return fused_gate_chunked(
+            y2d, cfg, chunk_size, padding, noise_thresh=thresh
+        )
     fn = lambda c, t: gate_stationary(c, t, cfg, method=method)
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
@@ -74,6 +100,10 @@ def _run_nonstationary(
     y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks",
     mpc=0, use_pallas="auto",
 ):
+    if _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
+        from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+        return fused_gate_chunked(y2d, cfg, chunk_size, padding)
     fn = lambda c: gate_nonstationary(c, cfg, method=method, use_pallas=use_pallas)
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,

@@ -923,16 +923,13 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     n_samples = chunk.shape[-1]
     batch_shape = chunk.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
-    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
-        scfg, n_samples
-    )
-    f_pad = n_tiles * _FT
-    n_tb = t_pad // _TB
-    n_bins = scfg.n_bins
 
     x = chunk.reshape(B, n_samples).astype(jnp.float32)
     # boundary extension + hop-block reshape (scipy stft: win//2 zeros each
     # side, signal truncated/padded to n_blocks*hop — ops/stft.frame_signal)
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples
+    )
     pad = scfg.boundary_pad
     need = n_blocks * hop
     right = max(pad, need - n_samples - pad)
@@ -940,6 +937,33 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     x = x[:, :need]
     blocks = x.reshape(B, n_blocks, hop)
     blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
+
+    y = _fused_gate_from_blocks(
+        blocks, cfg, n_samples, interpret, noise_thresh
+    )
+    # zero-fill back to the chunk length (reference writes the shorter istft
+    # into a zeros buffer, nonstationary.py:49,95)
+    out_len = y.shape[-1]
+    if out_len < n_samples:
+        y = jnp.pad(y, [(0, 0), (0, n_samples - out_len)])
+    elif out_len > n_samples:
+        y = y[:, :n_samples]
+    return y.reshape(batch_shape + (n_samples,)).astype(chunk.dtype)
+
+
+def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
+    """Core of the fused scipy-convention gate: pre-built hop blocks
+    (B, nb_pad, hop) -> gated signal (B, istft_len) — istft_len =
+    (n_frames-1)*hop, the scipy istft's trimmed length whose position 0 is
+    the chunk's first sample."""
+    scfg = cfg.stft
+    B = blocks.shape[0]
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples
+    )
+    f_pad = n_tiles * _FT
+    n_tb = t_pad // _TB
+    n_bins = scfg.n_bins
 
     c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
     ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
@@ -1114,16 +1138,109 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     y = y[:, trim : full - trim]
     norm = _ola_norm_np(scfg, n_frames)[trim : full - trim]
     norm = np.where(norm > 1e-10, norm, 1.0)
-    y = y / jnp.asarray(norm, jnp.float32)
+    return y / jnp.asarray(norm, jnp.float32)
 
-    # zero-fill back to the chunk length (reference writes the shorter istft
-    # into a zeros buffer, nonstationary.py:49,95)
-    out_len = y.shape[-1]
-    if out_len < n_samples:
-        y = jnp.pad(y, [(0, 0), (0, n_samples - out_len)])
-    elif out_len > n_samples:
-        y = y[:, :n_samples]
-    return y.reshape(batch_shape + (n_samples,)).astype(chunk.dtype)
+
+def fused_gate_chunked(
+    y2d, cfg, chunk_size: int, padding: int, noise_thresh=None,
+    interpret: bool = False,
+):
+    """The whole chunked scipy-engine body — extract + gate + assemble
+    (reference base.py:144-226 semantics) — with the hop blocks gathered
+    straight from the padded signal: the (channels, n_chunks, view) chunk
+    views are never materialized, and the assembled output slices the
+    kernels' OLA result directly.
+
+    Chunk i's block rows are exactly samples [i*chunk_size, i*chunk_size +
+    n_blocks*hop) of the signal padded left by padding + win//2 (the halo
+    zero-fill of base.py:130-142 composed with scipy stft's boundary
+    extension), because n_blocks*hop <= view + 2*(win//2) always. The
+    output's position 0 is the chunk view's first sample (scipy's istft
+    trim equals the boundary pad), so the assembled core is rows
+    [padding, padding + chunk_size).
+    """
+    return _fused_chunked_cvjp(
+        y2d, noise_thresh, cfg, chunk_size, padding, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_chunked_cvjp(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
+    return _fused_chunked_impl(
+        y2d, noise_thresh, cfg, chunk_size, padding, interpret
+    )
+
+
+def _fused_chunked_fwd(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
+    from noisereduce_tpu.models.spectral_gate import (
+        _gate_nonstationary_jnp, _gate_stationary_jnp,
+    )
+    from noisereduce_tpu.parallel.chunking import process_chunked
+
+    if noise_thresh is None:
+        def run(y):
+            return process_chunked(
+                lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"),
+                y, chunk_size, padding,
+            )
+
+        out, vjp_fn = jax.vjp(run, y2d)
+        return out, (vjp_fn, False)
+
+    def run(y, t):
+        return process_chunked(
+            lambda c, tt: _gate_stationary_jnp(c, tt, cfg, "matmul"),
+            y, chunk_size, padding, extra=(t,),
+        )
+
+    out, vjp_fn = jax.vjp(run, y2d, noise_thresh)
+    return out, (vjp_fn, True)
+
+
+def _fused_chunked_bwd(cfg, chunk_size, padding, interpret, res, g):
+    vjp_fn, has_thresh = res
+    grads = vjp_fn(g)
+    return grads if has_thresh else (grads[0], None)
+
+
+_fused_chunked_cvjp.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)
+
+
+def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
+    scfg = cfg.stft
+    ch, n = y2d.shape
+    k = (n - 1) // chunk_size + 1
+    view = chunk_size + 2 * padding
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, view
+    )
+    need = n_blocks * hop
+    bpad = scfg.boundary_pad
+    left = padding + bpad
+    right = max(0, (k - 1) * chunk_size + need - n - left)
+    ypad = jnp.pad(
+        y2d.astype(jnp.float32), [(0, 0), (left, right)]
+    )
+    parts = [
+        jax.lax.dynamic_slice_in_dim(ypad, i * chunk_size, need, axis=-1)
+        for i in range(k)
+    ]
+    ext = jnp.stack(parts, axis=1)  # (ch, k, need)
+    # scipy's boundary extension zero-pads each CHUNK (stft boundary zeros
+    # are per-chunk semantics, not neighboring signal): positions outside
+    # [bpad, bpad + view) of the extended chunk must be zero
+    pos = jnp.arange(need, dtype=jnp.int32)
+    ext = jnp.where((pos >= bpad) & (pos < bpad + view), ext, 0.0)
+    blocks = ext.reshape(ch * k, n_blocks, hop)
+    blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
+
+    y = _fused_gate_from_blocks(blocks, cfg, view, interpret, noise_thresh)
+    need_len = padding + chunk_size
+    if y.shape[-1] < need_len:  # tiny paddings: istft tail zero-fill
+        y = jnp.pad(y, [(0, 0), (0, need_len - y.shape[-1])])
+    core = y[:, padding:need_len]
+    out = core.reshape(ch, k * chunk_size)[:, :n]
+    return out.astype(y2d.dtype)
 
 
 # ---------------------------------------------------------------------------

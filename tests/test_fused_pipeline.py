@@ -261,3 +261,70 @@ def test_fused_tpugate_unsupported_geometries():
     assert not fused_tpugate_supported(
         TPUGate(sr=16000, nonstationary=True,
                 n_movemean_nonstationary=600), 64000)
+
+
+# ---------------------------------------------------------------------------
+# Whole-body chunked fast path (signal -> hop-block gather -> assemble)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "n,cs,pad,stationary",
+    [
+        (50000, 8000, 1500, False),
+        (50000, 8000, 1500, True),
+        (50000, 8000, 100, False),   # padding smaller than the istft tail
+        (48000, 9000, 1200, False),
+    ],
+)
+def test_fused_chunked_matches_process_chunked(n, cs, pad, stationary):
+    from noisereduce_tpu.models.spectral_gate import (
+        _gate_nonstationary_jnp, _gate_stationary_jnp,
+        stationary_noise_threshold,
+    )
+    from noisereduce_tpu.ops.pallas_pipeline import _fused_chunked_impl
+    from noisereduce_tpu.parallel.chunking import process_chunked
+
+    cfg = GateConfig(sr=44100, stationary=stationary)
+    y = jnp.asarray(RNG.standard_normal((2, n)), jnp.float32)
+    if stationary:
+        thr = stationary_noise_threshold(
+            y[0, :cs], cfg, method="matmul", use_pallas=False
+        )
+        ref = process_chunked(
+            lambda c, t: _gate_stationary_jnp(c, t, cfg, "matmul"),
+            y, cs, pad, extra=(thr,),
+        )
+        got = _fused_chunked_impl(y, thr, cfg, cs, pad, True)
+    else:
+        ref = process_chunked(
+            lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"), y, cs, pad
+        )
+        got = _fused_chunked_impl(y, None, cfg, cs, pad, True)
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    assert got.shape == ref.shape
+    dev = np.abs(got - ref).max()
+    assert dev <= 5e-5 * np.abs(ref).max()
+
+
+def test_fused_chunked_grad_routes_through_jnp_twin():
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+    from noisereduce_tpu.models.spectral_gate import _gate_nonstationary_jnp
+    from noisereduce_tpu.parallel.chunking import process_chunked
+
+    cfg = GateConfig(sr=44100, stationary=False)
+    y = jnp.asarray(RNG.standard_normal((1, 30000)), jnp.float32)
+    g = jax.grad(
+        lambda a: jnp.mean(
+            fused_gate_chunked(a, cfg, 8000, 1500, interpret=True) ** 2
+        )
+    )(y)
+    g_ref = jax.grad(
+        lambda a: jnp.mean(
+            process_chunked(
+                lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"),
+                a, 8000, 1500,
+            ) ** 2
+        )
+    )(y)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
