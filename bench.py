@@ -51,15 +51,13 @@ def _measure_tpu(extras):
     rng = np.random.default_rng(0)
 
     def forward_fn(use_pallas, dtype):
+        from noisereduce_tpu.api import _run_nonstationary
+
         @jax.jit
         def forward(y):
-            out = process_chunked(
-                lambda c: gate_nonstationary(
-                    c, cfg, method="matmul", use_pallas=use_pallas
-                ),
-                y,
-                chunk_size=CHUNK,
-                padding=PAD,
+            # the api's production dispatch (fused chunked path on TPU)
+            out = _run_nonstationary(
+                y, cfg, CHUNK, PAD, "matmul", use_pallas=use_pallas
             )
             # In-graph checksum: synchronizing on a 4-byte scalar forces
             # real completion even through remote-execution tunnels where
@@ -84,16 +82,12 @@ def _measure_tpu(extras):
     rtf = DURATION_S / timeit(fused, y960)
 
     # --- on-device numerical-health assertion: fused vs staged ---------------
+    from noisereduce_tpu.api import _run_nonstationary
+
     @jax.jit
     def both(y):
-        a = process_chunked(
-            lambda c: gate_nonstationary(c, cfg, method="matmul",
-                                         use_pallas="auto"),
-            y, chunk_size=CHUNK, padding=PAD)
-        b = process_chunked(
-            lambda c: gate_nonstationary(c, cfg, method="matmul",
-                                         use_pallas=False),
-            y, chunk_size=CHUNK, padding=PAD)
+        a = _run_nonstationary(y, cfg, CHUNK, PAD, "matmul", use_pallas="auto")
+        b = _run_nonstationary(y, cfg, CHUNK, PAD, "matmul", use_pallas=False)
         return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
     y_small = jax.device_put(

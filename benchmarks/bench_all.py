@@ -57,12 +57,11 @@ def main():
     y = jax.device_put(jnp.asarray(rng.standard_normal((1, n)), jnp.float32))
     yn = jax.device_put(jnp.asarray(rng.standard_normal(SR * 2), jnp.float32))
 
+    from noisereduce_tpu.api import _run_nonstationary, _run_stationary
+
     def stat(y, yn):
-        th = stationary_noise_threshold(yn, cfg_s, method="matmul")
-        return process_chunked(
-            lambda c, t: gate_stationary(c, t, cfg_s, method="matmul"),
-            y, CHUNK, PAD, extra=(th,),
-        )
+        # the api's production dispatch (fused chunked path on TPU)
+        return _run_stationary(y, yn, cfg_s, CHUNK, PAD, "matmul")
 
     log("running: stationary...")
     rows.append(("stationary + noise clip (mono)", DUR / timeit(stat, y, yn)))
@@ -72,10 +71,7 @@ def main():
     cfg_n = GateConfig(sr=SR, stationary=False)
 
     def nonstat(y):
-        return process_chunked(
-            lambda c: gate_nonstationary(c, cfg_n, method="matmul"),
-            y, CHUNK, PAD,
-        )
+        return _run_nonstationary(y, cfg_n, CHUNK, PAD, "matmul")
 
     log("running: non-stationary...")
     rows.append(("non-stationary (mono)", DUR / timeit(nonstat, y)))
