@@ -293,28 +293,28 @@ def _spectra_phases(
         dma.wait()
 
     # ---- phase 1: FB staged in the re/im output refs (+ ext-row tail) ----
+    # one (TB, hop) @ (hop, 256) dot per block — the cos and sin matrices
+    # ride side by side, doubling the MXU output width vs two 128-col dots
+    cs = jnp.concatenate([c_ref[...], s_ref[...]], axis=1)  # (hop, 2*_FT)
+
     def fb_body(tb, _):
         s = pl.multiple_of(tb * _TB, _TB)
         xb = blocks_ref[pl.ds(s, _TB), :]
-        re_ref[0, pl.ds(s, _TB), :] = jnp.dot(
-            xb, c_ref[...], preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
+        fb = jnp.dot(
+            xb, cs, preferred_element_type=jnp.float32, precision=_HIGHEST
         )
-        im_ref[0, pl.ds(s, _TB), :] = jnp.dot(
-            xb, s_ref[...], preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
+        re_ref[0, pl.ds(s, _TB), :] = jax.lax.slice_in_dim(fb, 0, _FT, axis=1)
+        im_ref[0, pl.ds(s, _TB), :] = jax.lax.slice_in_dim(
+            fb, _FT, 2 * _FT, axis=1
         )
         return 0
 
     jax.lax.fori_loop(0, n_tb, fb_body, 0)
     tail = pl.multiple_of(n_tb * _TB, _TB)
     xb = blocks_ref[pl.ds(tail, ext), :]
-    tc_ref[...] = jnp.dot(
-        xb, c_ref[...], preferred_element_type=jnp.float32, precision=_HIGHEST
-    )
-    ts_ref[...] = jnp.dot(
-        xb, s_ref[...], preferred_element_type=jnp.float32, precision=_HIGHEST
-    )
+    fb = jnp.dot(xb, cs, preferred_element_type=jnp.float32, precision=_HIGHEST)
+    tc_ref[...] = jax.lax.slice_in_dim(fb, 0, _FT, axis=1)
+    ts_ref[...] = jax.lax.slice_in_dim(fb, _FT, 2 * _FT, axis=1)
 
     # ---- phase 2: twiddle frame combine + analysis Hann ------------------
     def frame_body(tb, _):
@@ -661,6 +661,8 @@ def _apply_istft_kernel(
         out_ref[...] = jnp.zeros_like(out_ref)
 
     H = 8  # lookback rows (covers k <= r-1 <= 7)
+    # loop-invariant: real/imag inverse matrices stacked along contraction
+    cisi = jnp.concatenate([ci_ref[...], si_ref[...]], axis=0)
 
     def y_window(start, size, zero_first):
         rr = re_ref[0, pl.ds(start, size), :]
@@ -691,12 +693,11 @@ def _apply_istft_kernel(
             for k in range(r)
         ]
         ure, uim = _twiddle_combine(parts_re, parts_im, r, True, bin0)
+        # one (TB, 256) @ (256, hop) dot: real/imag operands stacked along
+        # the contraction — doubles the MXU K depth vs two 128-K dots
+        u = jnp.concatenate([ure, uim], axis=1)
         pk = jnp.dot(
-            ure, ci_ref[...], preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
-        ) + jnp.dot(
-            uim, si_ref[...], preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
+            u, cisi, preferred_element_type=jnp.float32, precision=_HIGHEST
         )
         out_ref[0, pl.ds(s, _TB), :] = out_ref[0, pl.ds(s, _TB), :] + pk
         return 0
