@@ -395,6 +395,10 @@ def _am_kernel(
     # ---- phase 3: IIR floor + sigmoid mask (magnitude recomputed from the
     # spectra refs per block; the backward pass stores the mask into y_ref
     # in place of the consumed forward state) ------------------------------
+    # Each direction runs as TWO sweeps: the in-block partial responses
+    # (independent L@x dots — the MXU pipelines them back-to-back) and then
+    # a VPU-only carry-injection chain. Folding the carry into the dot loop
+    # would make every dot wait on the previous one (latency chain).
     d_fwd = dfwd_ref[...]
     d_bwd = dbwd_ref[...]
 
@@ -404,30 +408,50 @@ def _am_kernel(
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         return jnp.where(ridx < t_real, jnp.sqrt(rr * rr + ii * ii), 0.0)
 
-    def fwd_body(kb, carry):
+    def fwd_dots(kb, _):
         start = pl.multiple_of(kb * _TB, _TB)
         xb = mag_at(start)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         xb = jnp.where(ridx == 0, xb * jnp.float32(1.0 / b), xb)
-        p = jnp.dot(l_ref[...], xb, preferred_element_type=jnp.float32,
-                    precision=_HIGHEST)
-        yb = p + carry * d_fwd
+        y_ref[pl.ds(start, _TB), :] = jnp.dot(
+            l_ref[...], xb, preferred_element_type=jnp.float32,
+            precision=_HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, fwd_dots, 0)
+
+    # carry chain: y_k = P_k + c_{k-1}·d_fwd; c_k = y_k[last] (d_fwd's last
+    # entry is a^TB, so reading the updated block row gives the next carry)
+    def fwd_carry(kb, carry):
+        start = pl.multiple_of(kb * _TB, _TB)
+        yb = y_ref[pl.ds(start, _TB), :] + carry * d_fwd
         y_ref[pl.ds(start, _TB), :] = yb
-        return yb[_TB - 1 :, :]
+        return jax.lax.slice_in_dim(yb, _TB - 1, _TB, axis=0)
 
     carry0 = jnp.zeros((1, _FT), jnp.float32)
-    jax.lax.fori_loop(0, n_tb, fwd_body, carry0)
+    jax.lax.fori_loop(0, n_tb, fwd_carry, carry0)
 
-    def bwd_body(k, carry):
-        kb = n_tb - 1 - k
+    def bwd_dots(kb, _):
         start = pl.multiple_of(kb * _TB, _TB)
         yb = y_ref[pl.ds(start, _TB), :]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         yb = jnp.where(ridx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
         yb = jnp.where(ridx > t_real - 1, 0.0, yb)
-        p = jnp.dot(lt_ref[...], yb, preferred_element_type=jnp.float32,
-                    precision=_HIGHEST)
-        wb = p + carry * d_bwd
+        y_ref[pl.ds(start, _TB), :] = jnp.dot(
+            lt_ref[...], yb, preferred_element_type=jnp.float32,
+            precision=_HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, bwd_dots, 0)
+
+    def bwd_carry(k, carry):
+        kb = n_tb - 1 - k
+        start = pl.multiple_of(kb * _TB, _TB)
+        wb = y_ref[pl.ds(start, _TB), :] + carry * d_bwd
+        nxt = jax.lax.slice_in_dim(wb, 0, 1, axis=0)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         mb = mag_at(start)
         safe_w = jnp.where(wb == 0.0, 1.0, wb)
         ratio = (mb - wb) / safe_w
@@ -437,9 +461,9 @@ def _am_kernel(
             mask_ref[0, pl.ds(start, _TB), :] = mask
         else:
             y_ref[pl.ds(start, _TB), :] = mask
-        return wb[:1, :]
+        return nxt
 
-    jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
+    jax.lax.fori_loop(0, n_tb, bwd_carry, carry0)
 
     # ---- phase 4: blockwise time-axis triangular smoothing ---------------
     if vt is not None:
