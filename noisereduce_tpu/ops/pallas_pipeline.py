@@ -71,21 +71,24 @@ __all__ = [
 
 _TB = 128    # time block (frames per MXU step)
 _FT = 128    # frequency tile width (lanes)
-_HALO = 2    # halo bins per side (two Hann stencil levels)
-_CORE = _FT - 2 * _HALO  # bins owned per tile
+_HALO = 2    # default halo bins per side (two Hann stencil levels); the
+#              merged kernel widens it to n_grad_freq + 2 so the frequency
+#              smoothing support is tile-local too
+_CORE = _FT - 2 * _HALO  # bins owned per tile at the default halo
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
 # Host-side constants (trace-time, cached per static geometry)
 # ---------------------------------------------------------------------------
-def _tile_bins(j: int):
+def _tile_bins(j: int, halo: int = _HALO):
     """Global bin index of each lane of tile j (may be out of range)."""
-    return j * _CORE - _HALO + np.arange(_FT, dtype=np.int64)
+    core = _FT - 2 * halo
+    return j * core - halo + np.arange(_FT, dtype=np.int64)
 
 
 @functools.lru_cache(maxsize=None)
-def _block_dft_consts_np(cfg: StftConfig, n_tiles: int):
+def _block_dft_consts_np(cfg: StftConfig, n_tiles: int, halo: int = _HALO):
     """Unwindowed hop-block DFT matrices per overlapped tile.
 
     C/S (n_tiles, hop, _FT): block (hop,) @ C[j] -> Re of FB for tile j's
@@ -96,7 +99,7 @@ def _block_dft_consts_np(cfg: StftConfig, n_tiles: int):
     c = np.zeros((n_tiles, hop, _FT), np.float64)
     s = np.zeros((n_tiles, hop, _FT), np.float64)
     for j in range(n_tiles):
-        k = _tile_bins(j)[None, :].astype(np.float64)
+        k = _tile_bins(j, halo)[None, :].astype(np.float64)
         ang = -2.0 * np.pi * p * k / cfg.n_fft
         valid = ((k >= 0) & (k < n_bins)).astype(np.float64)
         c[j] = np.cos(ang) * valid
@@ -105,7 +108,7 @@ def _block_dft_consts_np(cfg: StftConfig, n_tiles: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _block_idft_consts_np(cfg: StftConfig, n_tiles: int):
+def _block_idft_consts_np(cfg: StftConfig, n_tiles: int, halo: int = _HALO):
     """Inverse hop-block DFT matrices per tile: Ci/Si (n_tiles, _FT, hop),
     with the irfft Hermitian bin weights (2 except DC/Nyquist) and 1/n_fft
     folded. Rows for halo lanes or out-of-range bins are zero so every
@@ -117,10 +120,10 @@ def _block_idft_consts_np(cfg: StftConfig, n_tiles: int):
     si = np.zeros((n_tiles, _FT, hop), np.float64)
     lane = np.arange(_FT)
     for j in range(n_tiles):
-        k = _tile_bins(j)[:, None].astype(np.float64)
+        k = _tile_bins(j, halo)[:, None].astype(np.float64)
         ang = 2.0 * np.pi * k * t / cfg.n_fft
         wk = np.where((k > 0) & ((k < cfg.n_fft / 2) | (cfg.n_fft % 2 == 1)), 2.0, 1.0)
-        core = ((lane >= _HALO) & (lane < _FT - _HALO))[:, None]
+        core = ((lane >= halo) & (lane < _FT - halo))[:, None]
         valid = ((k >= 0) & (k < n_bins)) & core
         ci[j] = (wk * np.cos(ang) / cfg.n_fft) * valid
         si[j] = (-wk * np.sin(ang) / cfg.n_fft) * valid
@@ -134,6 +137,31 @@ def _tri_norm_np(n_grad: int) -> np.ndarray:
 
     v = triangular_vector(n_grad)
     return (v / v.sum()).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_band_np(
+    taps: tuple, n_bins: int, n_tiles: int, halo: int
+) -> np.ndarray:
+    """(n_tiles, _FT, _FT) per-tile banded matrices realizing the 'same'
+    cross-correlation along bins INSIDE one overlapped tile:
+    (mask_tile @ W[j])[t, l] = sum_d taps[n+d]·mask_tile[t, l+d] for lanes
+    with full in-tile support (requires halo >= n + 2; out-of-support lanes
+    produce garbage that the kernel layout never consumes). A tile's lanes
+    map to strictly consecutive bins, so the in-tile neighbor IS the bin
+    neighbor; out-of-range bins contribute zero (the reference's zero
+    padding)."""
+    taps_np = np.asarray(taps, np.float32)
+    n = (len(taps_np) - 1) // 2
+    w = np.zeros((n_tiles, _FT, _FT), np.float32)
+    for j in range(n_tiles):
+        bins = _tile_bins(j, halo)
+        for out in range(_FT):
+            for d in range(-n, n + 1):
+                src = out + d
+                if 0 <= src < _FT and 0 <= bins[src] < n_bins:
+                    w[j, src, out] = taps_np[n + d]
+    return w
 
 
 @functools.lru_cache(maxsize=None)
@@ -195,62 +223,87 @@ def _movemean_band_np(n_move: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # In-kernel helpers
 # ---------------------------------------------------------------------------
-def _twiddle_combine(parts_re, parts_im, r: int, inverse: bool, bin0: int):
-    """Combine r (rows, _FT) block-DFT shifts into a frame spectrum.
+def _twiddle_rows(r: int, inverse: bool, bin0: int):
+    """Per-shift constant twiddle rows (built once per grid cell, outside
+    the block loops): for shift k, (alpha, beta, gamma, delta) (1, _FT) rows
+    with re_k = a·alpha + b·beta, im_k = a·gamma + b·delta, where (a, b) is
+    the k-th block-DFT shift. The twiddle e^{∓2πi·k·f/r} for r in {2, 4}
+    takes values in {±1, ∓i, ±i} by (k·f) mod r, i.e. the rows hold only
+    {0, ±1} — two broadcast FMAs per plane replace the old nested
+    jnp.where selection chains. ``bin0`` is the global bin of lane 0."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _FT), 1) + bin0
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    rows = []
+    for k in range(1, r):
+        kf = (k * lane) % r  # jnp % is non-negative for negative bins
+        if r == 2:
+            sign = jnp.where(kf == 0, one, -one)
+            rows.append((sign, None, None, sign))
+        else:  # r == 4 (guarded by fused_gate_supported)
+            # forward: (-i)^kf in {1, -i, -1, i}; inverse: (+i)^kf
+            # X*(-i) = (im, -re); X*(+i) = (-im, re); X*(-1) = (-re, -im)
+            s_im = one if not inverse else -one
+            alpha = jnp.where(kf == 0, one, jnp.where(kf == 2, -one, zero))
+            beta = jnp.where(
+                kf == 1, s_im, jnp.where(kf == 3, -s_im, zero)
+            )
+            rows.append((alpha, beta, -beta, alpha))
+    return rows
 
-    parts_{re,im}[k] is FB[j+k] (forward) or Y[m-k] (inverse). For
-    r in {2, 4} the twiddle e^{∓2πi·k·f/r} takes values in {±1, ∓i, ±i}
-    depending on (k·f) mod r — pure sign/swap selection by lane index.
-    ``bin0`` is the global bin of lane 0 (twiddles depend on the global
-    bin, and the overlapped tile origin shifts by -_HALO).
-    """
-    rows, lanes = parts_re[0].shape
-    base = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1) + bin0
+
+def _twiddle_combine(parts_re, parts_im, r: int, tw_rows):
+    """Combine r (rows, _FT) block-DFT shifts into a frame spectrum using
+    precomputed ``_twiddle_rows``. parts_{re,im}[k] is FB[j+k] (forward)
+    or Y[m-k] (inverse)."""
     acc_re = parts_re[0]
     acc_im = parts_im[0]
     for k in range(1, r):
-        kf = (k * base) % r  # bin0 can be negative only by _HALO < r*? guard
         a, b = parts_re[k], parts_im[k]
-        if r == 2:
-            sign = jnp.where(kf == 0, 1.0, -1.0)
-            acc_re = acc_re + a * sign
-            acc_im = acc_im + b * sign
-        else:  # r == 4 (guarded by fused_gate_supported)
-            # forward: (-i)^(kf mod 4) in {1, -i, -1, i};
-            # inverse: (+i)^(kf mod 4) in {1, i, -1, -i}
-            # X*(-i) = (im, -re); X*(+i) = (-im, re); X*(-1) = (-re, -im)
-            s_im = 1.0 if not inverse else -1.0
-            re_k = jnp.where(
-                kf == 0, a,
-                jnp.where(kf == 2, -a, jnp.where(kf == 1, s_im * b, -s_im * b)),
-            )
-            im_k = jnp.where(
-                kf == 0, b,
-                jnp.where(kf == 2, -b, jnp.where(kf == 1, -s_im * a, s_im * a)),
-            )
-            acc_re = acc_re + re_k
-            acc_im = acc_im + im_k
+        alpha, beta, gamma, delta = tw_rows[k - 1]
+        if beta is None:  # r == 2: pure sign
+            acc_re = acc_re + a * alpha
+            acc_im = acc_im + b * delta
+        else:
+            acc_re = acc_re + a * alpha + b * beta
+            acc_im = acc_im + a * gamma + b * delta
     return acc_re, acc_im
 
 
-def _hermitian_fix(re, im, j, n_tiles: int, col_dc: int, col_nyq: int):
+def _hermitian_fix(re, im, j, col_dc: int, nyq_lane):
     """Overwrite the lanes holding bins -1 / n_bins with the Hermitian
     extension conj(X[1]) / conj(X[n_bins-2]) — the values the reference's
     real-signal DFT implies there. The source lane is 2 away, so a +2 lane
-    roll aligns it; only the first/last tile carries these lanes."""
+    roll aligns it. Bin -1 lives only in tile 0 (at lane col_dc = halo-1),
+    but with wide halos bin n_bins can appear in MORE than one trailing
+    tile (any tile whose lane range reaches it needs the fix — a non-last
+    tile's Nyquist-adjacent raw mask feeds the in-tile frequency smoothing
+    of consumed bins); ``nyq_lane`` is this tile's lane of bin n_bins
+    (n_bins - bin0, traced), self-gating when out of [0, lanes). The rolls
+    run under a cond so tiles carrying neither lane skip them entirely."""
+
+    def fix(re, im):
+        lanes = re.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
+        # bin -1 copies from bin +1 (2 lanes to the RIGHT: x[c+2]);
+        # bin n_bins copies from bin n_bins-2 (2 lanes to the LEFT: x[c-2])
+        right_re = pltpu.roll(re, lanes - 2, axis=1)
+        right_im = pltpu.roll(im, lanes - 2, axis=1)
+        left_re = pltpu.roll(re, 2, axis=1)
+        left_im = pltpu.roll(im, 2, axis=1)
+        fix_dc = (j == 0) & (lane == col_dc)
+        fix_ny = lane == nyq_lane
+        re_f = jnp.where(fix_dc, right_re, jnp.where(fix_ny, left_re, re))
+        im_f = jnp.where(fix_dc, -right_im, jnp.where(fix_ny, -left_im, im))
+        return re_f, im_f
+
     lanes = re.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
-    # bin -1 copies from bin +1 (2 lanes to the RIGHT: x[c+2]);
-    # bin n_bins copies from bin n_bins-2 (2 lanes to the LEFT: x[c-2])
-    right_re = pltpu.roll(re, lanes - 2, axis=1)
-    right_im = pltpu.roll(im, lanes - 2, axis=1)
-    left_re = pltpu.roll(re, 2, axis=1)
-    left_im = pltpu.roll(im, 2, axis=1)
-    fix_dc = (j == 0) & (lane == col_dc)
-    fix_ny = (j == n_tiles - 1) & (lane == col_nyq)
-    re = jnp.where(fix_dc, right_re, jnp.where(fix_ny, left_re, re))
-    im = jnp.where(fix_dc, -right_im, jnp.where(fix_ny, -left_im, im))
-    return re, im
+    return jax.lax.cond(
+        (j == 0) | ((nyq_lane >= 0) & (nyq_lane < lanes)),
+        fix,
+        lambda re, im: (re, im),
+        re, im,
+    )
 
 
 def _hann_stencil_lanes(re, im, scale):
@@ -274,7 +327,7 @@ def _hann_stencil_lanes(re, im, scale):
 # ---------------------------------------------------------------------------
 def _spectra_phases(
     blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
-    tc_ref, ts_ref, *, n_tb, n_tiles, r, ext, bin0, j, col_dc, col_nyq, scale,
+    tc_ref, ts_ref, *, n_tb, n_tiles, r, ext, bin0, j, col_dc, n_bins, scale,
 ):
     """Hop-blocks -> windowed frame spectra, written into re_ref/im_ref.
 
@@ -292,13 +345,17 @@ def _spectra_phases(
         dma.start()
         dma.wait()
 
-    # ---- phase 1: FB staged in the re/im output refs (+ ext-row tail) ----
-    # one (TB, hop) @ (hop, 256) dot per block — the cos and sin matrices
-    # ride side by side, doubling the MXU output width vs two 128-col dots
+    # ---- phases 1+2, software-pipelined: the FB dot for block tb+1 issues
+    # in the same loop body as the (VPU-only) twiddle/Hann combine for
+    # block tb, so the MXU and VPU overlap (measured: Mosaic co-issues
+    # within a body but not across separate fori loops). The FB dot is
+    # idempotent (reads blocks, writes raw FB rows the combine has not yet
+    # consumed), so the last iteration recomputes block n_tb-1 instead of
+    # branching. One (TB, hop) @ (hop, 256) dot per block — the cos and sin
+    # matrices ride side by side, doubling the MXU output width.
     cs = jnp.concatenate([c_ref[...], s_ref[...]], axis=1)  # (hop, 2*_FT)
 
-    def fb_body(tb, _):
-        s = pl.multiple_of(tb * _TB, _TB)
+    def fb_dot(s):
         xb = blocks_ref[pl.ds(s, _TB), :]
         fb = jnp.dot(
             xb, cs, preferred_element_type=jnp.float32, precision=_HIGHEST
@@ -307,17 +364,25 @@ def _spectra_phases(
         im_ref[0, pl.ds(s, _TB), :] = jax.lax.slice_in_dim(
             fb, _FT, 2 * _FT, axis=1
         )
-        return 0
 
-    jax.lax.fori_loop(0, n_tb, fb_body, 0)
+    # prologue: FB for block 0 and the ext-row tail (consumed only by the
+    # last combine)
+    fb_dot(pl.multiple_of(0, _TB))
     tail = pl.multiple_of(n_tb * _TB, _TB)
     xb = blocks_ref[pl.ds(tail, ext), :]
     fb = jnp.dot(xb, cs, preferred_element_type=jnp.float32, precision=_HIGHEST)
     tc_ref[...] = jax.lax.slice_in_dim(fb, 0, _FT, axis=1)
     ts_ref[...] = jax.lax.slice_in_dim(fb, _FT, 2 * _FT, axis=1)
 
-    # ---- phase 2: twiddle frame combine + analysis Hann ------------------
-    def frame_body(tb, _):
+    tw_rows = _twiddle_rows(r, False, bin0)
+
+    def body(tb, _):
+        # FB one block ahead (clamped: recomputing the last block is a no-op)
+        s_next = pl.multiple_of(
+            jnp.minimum(tb + 1, n_tb - 1) * _TB, _TB
+        )
+        fb_dot(s_next)
+
         s = pl.multiple_of(tb * _TB, _TB)
         nxt = pl.multiple_of(jnp.minimum(s + _TB, n_tb * _TB - ext), 8)
         nc = jnp.where(tb == n_tb - 1, tc_ref[...], re_ref[0, pl.ds(nxt, ext), :])
@@ -330,22 +395,24 @@ def _spectra_phases(
         parts_im = [
             jax.lax.slice_in_dim(ws, k, k + _TB, axis=0) for k in range(r)
         ]
-        xre, xim = _twiddle_combine(parts_re, parts_im, r, False, bin0)
-        xre, xim = _hermitian_fix(xre, xim, j, n_tiles, col_dc, col_nyq)
+        xre, xim = _twiddle_combine(parts_re, parts_im, r, tw_rows)
+        xre, xim = _hermitian_fix(xre, xim, j, col_dc, n_bins - bin0)
         xre, xim = _hann_stencil_lanes(xre, xim, scale)
         re_ref[0, pl.ds(s, _TB), :] = xre
         im_ref[0, pl.ds(s, _TB), :] = xim
         return 0
 
-    jax.lax.fori_loop(0, n_tb, frame_body, 0)
+    jax.lax.fori_loop(0, n_tb, body, 0)
 
 
 def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt):
     """Blockwise time-axis 'same' triangular conv from src_ref (unsmoothed
     mask) into the mask output ref, with 16-row aligned halo reads
-    (full-plane rolls blow the VMEM temp budget). Rows past t_real are
-    re-zeroed (smoothing spreads into them; downstream must see no frames
-    there)."""
+    (full-plane rolls blow the VMEM temp budget). The tap loop runs on the
+    VPU on purpose: a banded-matmul variant measured ~2 ms/960s SLOWER on
+    v5e — the kernel is MXU-throughput-bound on its 6-pass HIGHEST dots, so
+    work must not migrate VPU -> MXU. Rows past t_real are re-zeroed
+    (smoothing spreads into them; downstream must see no frames there)."""
     t_pad = src_ref.shape[0]
     nt = (len(vt) - 1) // 2
     H = 16  # halo rows (requires nt <= 16, see fused_gate_supported)
@@ -376,29 +443,32 @@ def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt):
 def _am_kernel(
     blocks_hbm, c_ref, s_ref, re_ref, im_ref, mask_ref, tc_ref, ts_ref, y_ref,
     blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
-    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
-    scale, b, thresh, slope, vt,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
+    scale, b, thresh, slope, vt, core=_CORE,
 ):
     """One (chunk, F-tile) cell: everything from hop-blocks to the
     (time-smoothed) non-stationary mask, with the windowed spectra as side
     outputs."""
     j = pl.program_id(1)
     t_pad = y_ref.shape[0]
-    bin0 = bin0_base + j * _CORE
+    bin0 = bin0_base + j * core
 
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
-        j=j, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale,
     )
 
     # ---- phase 3: IIR floor + sigmoid mask (magnitude recomputed from the
-    # spectra refs per block; the backward pass stores the mask into y_ref
-    # in place of the consumed forward state) ------------------------------
-    # Each direction runs as TWO sweeps: the in-block partial responses
-    # (independent L@x dots — the MXU pipelines them back-to-back) and then
-    # a VPU-only carry-injection chain. Folding the carry into the dot loop
-    # would make every dot wait on the previous one (latency chain).
+    # spectra refs per block) ----------------------------------------------
+    # Each direction is software-pipelined: the block-local L@x dot for
+    # block k+1 (independent of the carry) issues in the same loop body as
+    # the VPU carry injection for block k, so the MXU and VPU overlap. The
+    # dots are idempotent (they read the spectra / forward planes and write
+    # rows the carry has not yet consumed), so the boundary iterations
+    # recompute a block instead of branching. The backward dots stage their
+    # partials in the mask plane (overwritten by the final mask afterwards)
+    # to stay out of the forward result they read.
     d_fwd = dfwd_ref[...]
     d_bwd = dbwd_ref[...]
 
@@ -408,8 +478,7 @@ def _am_kernel(
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         return jnp.where(ridx < t_real, jnp.sqrt(rr * rr + ii * ii), 0.0)
 
-    def fwd_dots(kb, _):
-        start = pl.multiple_of(kb * _TB, _TB)
+    def fwd_dot(start):
         xb = mag_at(start)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         xb = jnp.where(ridx == 0, xb * jnp.float32(1.0 / b), xb)
@@ -417,39 +486,38 @@ def _am_kernel(
             l_ref[...], xb, preferred_element_type=jnp.float32,
             precision=_HIGHEST,
         )
-        return 0
 
-    jax.lax.fori_loop(0, n_tb, fwd_dots, 0)
+    fwd_dot(pl.multiple_of(0, _TB))
 
     # carry chain: y_k = P_k + c_{k-1}·d_fwd; c_k = y_k[last] (d_fwd's last
     # entry is a^TB, so reading the updated block row gives the next carry)
-    def fwd_carry(kb, carry):
+    def fwd_body(kb, carry):
+        fwd_dot(pl.multiple_of(jnp.minimum(kb + 1, n_tb - 1) * _TB, _TB))
         start = pl.multiple_of(kb * _TB, _TB)
         yb = y_ref[pl.ds(start, _TB), :] + carry * d_fwd
         y_ref[pl.ds(start, _TB), :] = yb
         return jax.lax.slice_in_dim(yb, _TB - 1, _TB, axis=0)
 
     carry0 = jnp.zeros((1, _FT), jnp.float32)
-    jax.lax.fori_loop(0, n_tb, fwd_carry, carry0)
+    jax.lax.fori_loop(0, n_tb, fwd_body, carry0)
 
-    def bwd_dots(kb, _):
-        start = pl.multiple_of(kb * _TB, _TB)
+    def bwd_dot(start):
         yb = y_ref[pl.ds(start, _TB), :]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         yb = jnp.where(ridx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
         yb = jnp.where(ridx > t_real - 1, 0.0, yb)
-        y_ref[pl.ds(start, _TB), :] = jnp.dot(
+        mask_ref[0, pl.ds(start, _TB), :] = jnp.dot(
             lt_ref[...], yb, preferred_element_type=jnp.float32,
             precision=_HIGHEST,
         )
-        return 0
 
-    jax.lax.fori_loop(0, n_tb, bwd_dots, 0)
+    bwd_dot(pl.multiple_of((n_tb - 1) * _TB, _TB))
 
-    def bwd_carry(k, carry):
+    def bwd_body(k, carry):
         kb = n_tb - 1 - k
+        bwd_dot(pl.multiple_of(jnp.maximum(kb - 1, 0) * _TB, _TB))
         start = pl.multiple_of(kb * _TB, _TB)
-        wb = y_ref[pl.ds(start, _TB), :] + carry * d_bwd
+        wb = mask_ref[0, pl.ds(start, _TB), :] + carry * d_bwd
         nxt = jax.lax.slice_in_dim(wb, 0, 1, axis=0)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
         mb = mag_at(start)
@@ -463,7 +531,7 @@ def _am_kernel(
             y_ref[pl.ds(start, _TB), :] = mask
         return nxt
 
-    jax.lax.fori_loop(0, n_tb, bwd_carry, carry0)
+    jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
 
     # ---- phase 4: blockwise time-axis triangular smoothing ---------------
     if vt is not None:
@@ -473,8 +541,8 @@ def _am_kernel(
 def _as_kernel(
     blocks_hbm, c_ref, s_ref, thresh_ref, re_ref, im_ref, mask_ref,
     tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
-    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
-    scale, top_db, prop, vt, self_stats=False, n_std=0.0,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
+    scale, top_db, prop, vt, self_stats=False, n_std=0.0, core=_CORE,
 ):
     """Stationary twin of ``_am_kernel``: hop-blocks -> windowed spectra +
     stationary mask (reference stationary.py:83-126).
@@ -492,12 +560,12 @@ def _as_kernel(
     ~1.5e-3 of peak). Within float32 the kernel matches the staged jnp path
     to ~5e-7."""
     j = pl.program_id(1)
-    bin0 = bin0_base + j * _CORE
+    bin0 = bin0_base + j * core
 
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
-        j=j, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale,
     )
 
     # ---- pass A: dB spectrogram (into y_ref) + running per-bin max -------
@@ -574,8 +642,8 @@ def _as_kernel(
 def _mt_kernel(
     blocks_hbm, c_ref, s_ref, band_ref, re_ref, im_ref, mask_ref,
     tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
-    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, col_nyq,
-    scale, n_thresh, temp, prop, vt,
+    *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
+    scale, n_thresh, temp, prop, vt, core=_CORE,
 ):
     """Torch-convention non-stationary mask (TorchGate, torchgate.py:167-198):
     moving-average noise floor + temperature sigmoid + pre-smoothing
@@ -589,12 +657,12 @@ def _mt_kernel(
     """
     j = pl.program_id(1)
     t_pad = y_ref.shape[0]
-    bin0 = bin0_base + j * _CORE
+    bin0 = bin0_base + j * core
 
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
-        j=j, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale,
     )
 
     # ---- pass 1: |Z| into y_ref ------------------------------------------
@@ -653,7 +721,7 @@ def _mt_kernel(
 def _spectra_kernel(
     blocks_hbm, c_ref, s_ref, re_ref, im_ref, tc_ref, ts_ref,
     blocks_ref, dma_sem,
-    *, n_tb, n_tiles, r, ext, bin0_base, col_dc, col_nyq, scale,
+    *, n_tb, n_tiles, r, ext, bin0_base, col_dc, n_bins, scale, core=_CORE,
 ):
     """Spectra only (windowed STFT planes) — used for the stationary noise
     threshold statistics."""
@@ -661,7 +729,7 @@ def _spectra_kernel(
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext,
-        bin0=bin0_base + j * _CORE, j=j, col_dc=col_dc, col_nyq=col_nyq,
+        bin0=bin0_base + j * core, j=j, col_dc=col_dc, n_bins=n_bins,
         scale=scale,
     )
 
@@ -671,14 +739,14 @@ def _spectra_kernel(
 # ---------------------------------------------------------------------------
 def _apply_istft_kernel(
     re_ref, im_ref, mask_ref, ci_ref, si_ref, out_ref,
-    *, n_tb, n_tiles, r, hop, bin0_base, col_dc, col_nyq, post,
+    *, n_tb, n_tiles, r, hop, bin0_base, col_dc, n_bins, post, core=_CORE,
 ):
     """One (chunk, F-tile) cell: out_block[m] = iDFT_hop(sum_k tw'_k·Y[m-k])
     with Y = HannStencil(Z_w·mask)·win_sum computed on the fly per (_TB+8)-row
     window — aligned reads with an 8-row lookback, aligned accumulating
     writes, revisited across tiles."""
     j = pl.program_id(1)
-    bin0 = bin0_base + j * _CORE
+    bin0 = bin0_base + j * core
 
     @pl.when(j == 0)
     def _():
@@ -687,24 +755,22 @@ def _apply_istft_kernel(
     H = 8  # lookback rows (covers k <= r-1 <= 7)
     # loop-invariant: real/imag inverse matrices stacked along contraction
     cisi = jnp.concatenate([ci_ref[...], si_ref[...]], axis=0)
+    tw_rows = _twiddle_rows(r, True, bin0)
 
-    def y_window(start, size, zero_first):
-        rr = re_ref[0, pl.ds(start, size), :]
-        ii = im_ref[0, pl.ds(start, size), :]
-        mm = mask_ref[0, pl.ds(start, size), :]
+    def y_window(start):
+        rr = re_ref[0, pl.ds(start, _TB), :]
+        ii = im_ref[0, pl.ds(start, _TB), :]
+        mm = mask_ref[0, pl.ds(start, _TB), :]
         rr, ii = rr * mm, ii * mm
-        rr, ii = _hermitian_fix(rr, ii, j, n_tiles, col_dc, col_nyq)
-        rr, ii = _hann_stencil_lanes(rr, ii, post)
-        if zero_first is not None:
-            rr = jnp.where(zero_first, 0.0, rr)
-            ii = jnp.where(zero_first, 0.0, ii)
-        return rr, ii
+        rr, ii = _hermitian_fix(rr, ii, j, col_dc, n_bins - bin0)
+        return _hann_stencil_lanes(rr, ii, post)
 
-    def body(tb, _):
+    # the H-row lookback is carried from the previous iteration's processed
+    # block (bit-identical: every step is row-local) instead of recomputed
+    def body(tb, carry):
+        pre_re, pre_im = carry
         s = pl.multiple_of(tb * _TB, _TB)
-        prev_start = pl.multiple_of(jnp.maximum(s - H, 0), H)
-        pre_re, pre_im = y_window(prev_start, H, tb == 0)
-        cur_re, cur_im = y_window(s, _TB, None)
+        cur_re, cur_im = y_window(s)
         wre = jnp.concatenate([pre_re, cur_re], axis=0)
         wim = jnp.concatenate([pre_im, cur_im], axis=0)
         # rows of w* are Y[s-H .. s+_TB); Y[m-k] = w*[H - k + (m - s)]
@@ -716,7 +782,7 @@ def _apply_istft_kernel(
             jax.lax.slice_in_dim(wim, H - k, H - k + _TB, axis=0)
             for k in range(r)
         ]
-        ure, uim = _twiddle_combine(parts_re, parts_im, r, True, bin0)
+        ure, uim = _twiddle_combine(parts_re, parts_im, r, tw_rows)
         # one (TB, 256) @ (256, hop) dot: real/imag operands stacked along
         # the contraction — doubles the MXU K depth vs two 128-K dots
         u = jnp.concatenate([ure, uim], axis=1)
@@ -724,15 +790,336 @@ def _apply_istft_kernel(
             u, cisi, preferred_element_type=jnp.float32, precision=_HIGHEST
         )
         out_ref[0, pl.ds(s, _TB), :] = out_ref[0, pl.ds(s, _TB), :] + pk
+        return (
+            jax.lax.slice_in_dim(cur_re, _TB - H, _TB, axis=0),
+            jax.lax.slice_in_dim(cur_im, _TB - H, _TB, axis=0),
+        )
+
+    carry0 = (
+        jnp.zeros((H, _FT), jnp.float32),
+        jnp.zeros((H, _FT), jnp.float32),
+    )
+    jax.lax.fori_loop(0, n_tb, body, carry0)
+
+
+# ---------------------------------------------------------------------------
+# Merged single-kernel gate (spectra + mask + smoothing + iSTFT in one cell)
+# ---------------------------------------------------------------------------
+def _freq_smooth_blend_phase(mask_ref, band_ref, *, n_tb, t_real, prop):
+    """In-kernel frequency smoothing and/or post-smoothing blend, in place.
+
+    The banded 'same' conv along bins is one (_TB, _FT) @ (_FT, _FT) MXU dot
+    per time block (row-local, so in-place per block is safe). ``prop`` is
+    the non-stationary path's AFTER-smoothing prop_decrease blend
+    (nonstationary.py:78-84); the blend writes (1-prop) into padded rows,
+    so rows past t_real are re-zeroed (they hold real hop-block samples the
+    reference never sees)."""
+
+    def body(tb, _):
+        s = pl.multiple_of(tb * _TB, _TB)
+        m = mask_ref[0, pl.ds(s, _TB), :]
+        if band_ref is not None:
+            m = jnp.dot(
+                m, band_ref[...], preferred_element_type=jnp.float32,
+                precision=_HIGHEST,
+            )
+        if prop is not None:
+            m = m * jnp.float32(prop) + jnp.float32(1.0 - prop)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
+            m = jnp.where(ridx < t_real, m, 0.0)
+        mask_ref[0, pl.ds(s, _TB), :] = m
         return 0
 
     jax.lax.fori_loop(0, n_tb, body, 0)
 
 
+def _merged_halo(n_grad_freq: int) -> int:
+    """Tile halo for the merged kernel: the Hann stencils need 2 levels and
+    the in-tile frequency smoothing needs its half-width on top (raw-mask
+    validity ends one lane inside the spectra validity, hence n+2)."""
+    return _HALO if n_grad_freq < 1 else n_grad_freq + 2
+
+
+def _merged_vmem_bytes(t_pad: int, hop: int) -> int:
+    """Working-set estimate of the merged kernel (see scratch list below):
+    4 (t_pad, 128) f32 planes (re, im, mask, IIR/dB state), the (t_pad+8,
+    hop) hop-block scratch, a double-buffered (t_pad, hop) output, plus
+    double-buffered per-tile constants."""
+    planes = 4 * t_pad * _FT * 4
+    blocks = (t_pad + 8) * hop * 4
+    out = 2 * t_pad * hop * 4
+    consts = 2 * (4 * hop * _FT * 4 + 3 * _FT * _FT * 4) + 4 * _TB * _TB * 4
+    return planes + blocks + out + consts
+
+
+# The Mosaic scoped-VMEM default is 16 MiB, but v5e-class chips carry
+# 128 MiB of physical VMEM; the merged kernel raises the scoped limit via
+# CompilerParams and gates itself on this budget instead.
+_MERGED_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _merged_compiler_params(t_pad: int, hop: int):
+    est = _merged_vmem_bytes(t_pad, hop)
+    limit = min(_MERGED_VMEM_LIMIT, max(16 * 1024 * 1024, int(est * 1.4)))
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
+def _merged_supported(t_pad: int, hop: int, halo: int) -> bool:
+    if halo > (_FT - 16) // 2:  # keep >= 16 owned bins per tile
+        return False
+    # 1.4x headroom for Mosaic stack/alignment overhead (measured ~1.1x)
+    return _merged_vmem_bytes(t_pad, hop) * 1.4 <= _MERGED_VMEM_LIMIT
+
+
+def _split_vmem_ok(t_pad: int, hop: int) -> bool:
+    """VMEM fit of the two-kernel pipeline: kernel AM streams three
+    double-buffered (t_pad, _FT) output planes plus the state plane and the
+    hop-block scratch; kernel B streams the three planes in and a
+    double-buffered (t_pad, hop) output."""
+    from noisereduce_tpu.ops.pallas_mask import _VMEM_BYTES, _VMEM_SAFETY
+
+    am = (
+        2 * 3 * t_pad * _FT * 4
+        + t_pad * _FT * 4
+        + (t_pad + 8) * hop * 4
+        + 2 * (2 * hop * _FT * 4)
+        + 4 * _TB * _TB * 4
+    )
+    b = (
+        2 * 3 * t_pad * _FT * 4
+        + 2 * t_pad * hop * 4
+        + 2 * (2 * _FT * hop * 4)
+    )
+    return max(am, b) <= _VMEM_BYTES * _VMEM_SAFETY
+
+
+def _merged_gate_from_blocks(
+    blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None
+):
+    """Single-kernel twin of ``_fused_gate_from_blocks``: the spectra and
+    mask planes live only in VMEM scratch, the frequency smoothing is an
+    in-kernel per-tile banded dot (halo widened to n_grad_freq + 2), and the
+    only HBM output is the OLA hop-block plane. Bit-compatible with the
+    two-kernel path up to MXU summation-order rounding (~1 ulp: the in-tile
+    banded dot contracts 128 lanes instead of f_pad)."""
+    scfg = cfg.stft
+    B = blocks.shape[0]
+    smoothing = cfg.smoothing
+    n_grad_freq = smoothing[0] if smoothing else 0
+    n_grad_time = smoothing[1] if smoothing else 0
+    halo = _merged_halo(n_grad_freq)
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples, halo
+    )
+    f_pad = n_tiles * _FT
+    n_tb = t_pad // _TB
+    n_bins = scfg.n_bins
+
+    c_np, s_np = _block_dft_consts_np(scfg, n_tiles, halo)
+    ci_np, si_np = _block_idft_consts_np(scfg, n_tiles, halo)
+    col_dc = halo - 1
+    bin0_base = -halo
+
+    vt = tuple(_tri_norm_np(n_grad_time).tolist()) if n_grad_time >= 1 else None
+    if n_grad_freq >= 1:
+        band_np = _tile_band_np(
+            tuple(_tri_norm_np(n_grad_freq).tolist()), n_bins, n_tiles, halo
+        )
+    else:
+        band_np = None
+
+    scale = 1.0 / float(_analysis_window_np(scfg).sum())
+    post = float(_analysis_window_np(scfg).sum())
+
+    common = dict(
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+        bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
+        core=_FT - 2 * halo,
+    )
+    bk = functools.partial(
+        _apply_istft_kernel,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
+        col_dc=col_dc, n_bins=n_bins, post=post, core=_FT - 2 * halo,
+    )
+
+    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    cmat_spec = pl.BlockSpec(
+        (1, hop, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    idft_spec = pl.BlockSpec(
+        (1, _FT, hop), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    band_spec = pl.BlockSpec(
+        (1, _FT, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    iirmat_spec = pl.BlockSpec(
+        (_TB, _TB), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec(
+        (_TB, _FT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, t_pad, hop), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # re_w plane
+        pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # im_w plane
+        pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # mask plane
+        pltpu.VMEM((ext, _FT), jnp.float32),       # FB tail, real
+        pltpu.VMEM((ext, _FT), jnp.float32),       # FB tail, imag
+        pltpu.VMEM((t_pad, _FT), jnp.float32),     # dB / IIR / raw mask
+        pltpu.VMEM((nb_pad, hop), jnp.float32),    # hop blocks (DMA'd per i)
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    out_shape = jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32)
+
+    if noise_thresh is None:
+        L, d_fwd, d_bwd, _ = _consts_np(cfg.iir_b, _TB)
+        am = functools.partial(
+            _am_kernel, **common,
+            b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
+            slope=cfg.sigmoid_slope_nonstationary, vt=vt,
+        )
+        fs = functools.partial(
+            _freq_smooth_blend_phase, n_tb=n_tb, t_real=n_frames,
+            prop=cfg.prop_decrease,
+        )
+
+        if band_np is None:
+            def kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
+                       ci_ref, si_ref, out_ref, re_s, im_s, mask_s, tc, ts,
+                       y_s, bv, sem):
+                am(b_ref, c_ref[0], s_ref[0], re_s, im_s, mask_s, tc, ts,
+                   y_s, bv, sem, l_ref, lt_ref, df_ref, db_ref)
+                fs(mask_s, None)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, iirmat_spec,
+                        iirmat_spec, vec_spec, vec_spec, idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np),
+                jnp.asarray(L), jnp.asarray(L.T),
+                jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
+                jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
+                jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+        else:
+            def kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
+                       band_ref, ci_ref, si_ref, out_ref, re_s, im_s, mask_s,
+                       tc, ts, y_s, bv, sem):
+                am(b_ref, c_ref[0], s_ref[0], re_s, im_s, mask_s, tc, ts,
+                   y_s, bv, sem, l_ref, lt_ref, df_ref, db_ref)
+                fs(mask_s, band_ref[0])
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, iirmat_spec,
+                        iirmat_spec, vec_spec, vec_spec, band_spec,
+                        idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np),
+                jnp.asarray(L), jnp.asarray(L.T),
+                jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
+                jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
+                jnp.asarray(band_np), jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+    else:
+        bins = np.concatenate(
+            [_tile_bins(j, halo) for j in range(n_tiles)]
+        )
+        valid = (bins >= 0) & (bins < n_bins)
+        idx = np.clip(bins, 0, n_bins - 1)
+        thr_flat = jnp.where(
+            jnp.asarray(valid),
+            noise_thresh.astype(jnp.float32)[jnp.asarray(idx)],
+            jnp.float32(1e30),
+        )
+        thr_tiles = jnp.tile(thr_flat.reshape(n_tiles, 1, _FT), (1, 8, 1))
+        thr_spec = pl.BlockSpec(
+            (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        ask = functools.partial(
+            _as_kernel, **common,
+            top_db=80.0, prop=cfg.prop_decrease, vt=vt,
+        )
+        fs = functools.partial(
+            _freq_smooth_blend_phase, n_tb=n_tb, t_real=n_frames, prop=None,
+        )
+
+        if band_np is None:
+            def kernel(b_ref, c_ref, s_ref, t_ref, ci_ref, si_ref, out_ref,
+                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
+                    tc, ts, y_s, bv, sem)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
+                        idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
+                jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+        else:
+            def kernel(b_ref, c_ref, s_ref, t_ref, band_ref, ci_ref, si_ref,
+                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
+                    tc, ts, y_s, bv, sem)
+                fs(mask_s, band_ref[0])
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
+                        band_spec, idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
+                jnp.asarray(band_np), jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+
+    out_blocks = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_merged_compiler_params(t_pad, hop),
+        interpret=interpret,
+    )(*operands)
+
+    return _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice)
+
+
+def _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice=None):
+    """Envelope division + scipy edge trim on the OLA hop-block plane, with
+    the caller's final sample window folded into the same pass.
+
+    ``out_slice=(off, length)`` selects [off, off+length) of the trimmed
+    istft output (position 0 = the chunk's first covered sample) directly
+    from the (B, t_pad, hop) plane — one sliced read + fused divide instead
+    of a full-length divide pass followed by a separate unaligned
+    slice/reshape (measured ~7 ms/960 s on v5e). The slice is clamped to
+    the real istft extent; callers zero-fill any shortfall."""
+    B, t_pad, hop = out_blocks.shape
+    win = scfg.frame_length
+    full = win + (n_frames - 1) * hop
+    trim = scfg.win_length // 2
+    lo, hi = trim, full - trim
+    if out_slice is not None:
+        off, length = out_slice
+        lo = trim + off
+        hi = min(lo + length, full - trim)
+    y = out_blocks.reshape(B, t_pad * hop)[:, lo:hi]
+    norm = _ola_norm_np(scfg, n_frames)[lo:hi]
+    norm = np.where(norm > 1e-10, norm, 1.0)
+    return y / jnp.asarray(norm, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Geometry + eligibility
 # ---------------------------------------------------------------------------
-def _geometry(scfg: StftConfig, n_samples: int):
+def _geometry(scfg: StftConfig, n_samples: int, halo: int = _HALO):
     win = scfg.frame_length
     hop = scfg.hop_length
     r = win // hop
@@ -741,7 +1128,7 @@ def _geometry(scfg: StftConfig, n_samples: int):
     t_pad = -(-n_frames // _TB) * _TB
     ext = 8  # FB lookahead rows (covers k <= r-1 <= 7)
     nb_pad = t_pad + ext
-    n_tiles = -(-scfg.n_bins // _CORE)
+    n_tiles = -(-scfg.n_bins // (_FT - 2 * halo))
     return win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles
 
 
@@ -762,7 +1149,11 @@ def fused_gate_supported(cfg: GateConfig, n_samples: int, n_grad_time) -> bool:
         return False
     n_frames = scfg.n_frames(n_samples)
     t_pad = -(-n_frames // _TB) * _TB
-    if n_frames > max_frames_for_vmem():
+    ngf = cfg.smoothing[0] if cfg.smoothing else 0
+    if not (
+        _merged_supported(t_pad, hop, _merged_halo(ngf))
+        or _split_vmem_ok(t_pad, hop)
+    ):
         return False
     # out-blocks live in (t_pad, hop): the r-1 trailing OLA blocks must fit.
     # (The blockwise time smoothing needs NO margin: its halos clamp inside
@@ -897,7 +1288,6 @@ def _fused_stft_planes(x, scfg, interpret):
 
     c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
     col_dc = _HALO - 1
-    col_nyq = int(n_bins - _tile_bins(n_tiles - 1)[0])
     scale = (
         1.0 / float(_analysis_window_np(scfg).sum())
         if scfg.convention == Convention.SCIPY
@@ -906,7 +1296,7 @@ def _fused_stft_planes(x, scfg, interpret):
     sk = functools.partial(
         _spectra_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0_base=-_HALO,
-        col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+        col_dc=col_dc, n_bins=n_bins, scale=scale,
     )
 
     def spectra_kernel(b_ref, c_ref, s_ref, re_ref, im_ref, tc, ts, bv, sem):
@@ -964,28 +1354,37 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
 
     y = _fused_gate_from_blocks(
-        blocks, cfg, n_samples, interpret, noise_thresh
+        blocks, cfg, n_samples, interpret, noise_thresh,
+        out_slice=(0, n_samples),
     )
     # zero-fill back to the chunk length (reference writes the shorter istft
     # into a zeros buffer, nonstationary.py:49,95)
     out_len = y.shape[-1]
     if out_len < n_samples:
         y = jnp.pad(y, [(0, 0), (0, n_samples - out_len)])
-    elif out_len > n_samples:
-        y = y[:, :n_samples]
     return y.reshape(batch_shape + (n_samples,)).astype(chunk.dtype)
 
 
-def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
+def _fused_gate_from_blocks(
+    blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None
+):
     """Core of the fused scipy-convention gate: pre-built hop blocks
     (B, nb_pad, hop) -> gated signal (B, istft_len) — istft_len =
     (n_frames-1)*hop, the scipy istft's trimmed length whose position 0 is
-    the chunk's first sample."""
+    the chunk's first sample (``out_slice`` selects a sub-window of that,
+    see ``_scipy_istft_tail``). Runs as ONE merged kernel when the widened
+    halo and VMEM budget allow (the default geometries), else as the
+    two-kernel + banded-matmul pipeline below."""
     scfg = cfg.stft
     B = blocks.shape[0]
     win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
         scfg, n_samples
     )
+    _ngf = cfg.smoothing[0] if cfg.smoothing else 0
+    if _merged_supported(t_pad, hop, _merged_halo(_ngf)):
+        return _merged_gate_from_blocks(
+            blocks, cfg, n_samples, interpret, noise_thresh, out_slice
+        )
     f_pad = n_tiles * _FT
     n_tb = t_pad // _TB
     n_bins = scfg.n_bins
@@ -997,7 +1396,6 @@ def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
     # lane _HALO-1 of tile 0; bin n_bins sits in the last tile at
     # n_bins - bins(last tile)[0].
     col_dc = _HALO - 1
-    col_nyq = int(n_bins - _tile_bins(n_tiles - 1)[0])
     bin0_base = -_HALO
 
     # a half-width of 1 still means a 3-tap kernel — only smoothing=None
@@ -1049,7 +1447,7 @@ def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
         am = functools.partial(
             _am_kernel,
             n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
-            bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+            bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
             b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
             slope=cfg.sigmoid_slope_nonstationary, vt=vt,
         )
@@ -1092,7 +1490,7 @@ def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
         ask = functools.partial(
             _as_kernel,
             n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
-            bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=scale,
+            bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
             top_db=80.0, prop=cfg.prop_decrease, vt=vt,
         )
 
@@ -1141,7 +1539,7 @@ def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
     bk = functools.partial(
         _apply_istft_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
-        col_dc=col_dc, col_nyq=col_nyq, post=post,
+        col_dc=col_dc, n_bins=n_bins, post=post,
     )
 
     def istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, out_ref):
@@ -1157,13 +1555,7 @@ def _fused_gate_from_blocks(blocks, cfg, n_samples, interpret, noise_thresh):
     )(re_w, im_w, mask, jnp.asarray(ci_np), jnp.asarray(si_np))
 
     # ---- XLA: envelope division + scipy edge trim ----------------------------
-    full = win + (n_frames - 1) * hop  # == n_blocks * hop
-    y = out_blocks.reshape(B, t_pad * hop)[:, :full]
-    trim = scfg.win_length // 2
-    y = y[:, trim : full - trim]
-    norm = _ola_norm_np(scfg, n_frames)[trim : full - trim]
-    norm = np.where(norm > 1e-10, norm, 1.0)
-    return y / jnp.asarray(norm, jnp.float32)
+    return _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice)
 
 
 def fused_gate_chunked(
@@ -1242,28 +1634,31 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
     need = n_blocks * hop
     bpad = scfg.boundary_pad
     left = padding + bpad
+    # k overlapping dynamic-slices of the padded signal. (A phase-aligned
+    # whole-row jnp.take gather was tried and is bit-identical but ~25 ms
+    # SLOWER per 960 s on v5e — XLA lowers the row gather poorly; the
+    # strided slices fuse into the stack and cost ~nothing extra.)
     right = max(0, (k - 1) * chunk_size + need - n - left)
-    ypad = jnp.pad(
-        y2d.astype(jnp.float32), [(0, 0), (left, right)]
-    )
+    ypad = jnp.pad(y2d.astype(jnp.float32), [(0, 0), (left, right)])
     parts = [
         jax.lax.dynamic_slice_in_dim(ypad, i * chunk_size, need, axis=-1)
         for i in range(k)
     ]
-    ext = jnp.stack(parts, axis=1)  # (ch, k, need)
+    ext_sig = jnp.stack(parts, axis=1)  # (ch, k, need)
     # scipy's boundary extension zero-pads each CHUNK (stft boundary zeros
     # are per-chunk semantics, not neighboring signal): positions outside
     # [bpad, bpad + view) of the extended chunk must be zero
     pos = jnp.arange(need, dtype=jnp.int32)
-    ext = jnp.where((pos >= bpad) & (pos < bpad + view), ext, 0.0)
-    blocks = ext.reshape(ch * k, n_blocks, hop)
+    ext_sig = jnp.where((pos >= bpad) & (pos < bpad + view), ext_sig, 0.0)
+    blocks = ext_sig.reshape(ch * k, n_blocks, hop)
     blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
 
-    y = _fused_gate_from_blocks(blocks, cfg, view, interpret, noise_thresh)
-    need_len = padding + chunk_size
-    if y.shape[-1] < need_len:  # tiny paddings: istft tail zero-fill
-        y = jnp.pad(y, [(0, 0), (0, need_len - y.shape[-1])])
-    core = y[:, padding:need_len]
+    core = _fused_gate_from_blocks(
+        blocks, cfg, view, interpret, noise_thresh,
+        out_slice=(padding, chunk_size),
+    )
+    if core.shape[-1] < chunk_size:  # tiny paddings: istft tail zero-fill
+        core = jnp.pad(core, [(0, 0), (0, chunk_size - core.shape[-1])])
     out = core.reshape(ch, k * chunk_size)[:, :n]
     return out.astype(y2d.dtype)
 
@@ -1406,7 +1801,6 @@ def _fused_torch_impl(x, xn, gate, interpret):
     c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
     ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
     col_dc = _HALO - 1
-    col_nyq = int(n_bins - _tile_bins(n_tiles - 1)[0])
     bin0_base = -_HALO
 
     # SVD rank-1 factors of the reference's f32-rounded smoothing kernel
@@ -1444,7 +1838,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
     ]
     common = dict(
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
-        bin0_base=bin0_base, col_dc=col_dc, col_nyq=col_nyq, scale=1.0,
+        bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=1.0,
     )
 
     if gate.nonstationary:
@@ -1544,7 +1938,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
     bk = functools.partial(
         _apply_istft_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
-        col_dc=col_dc, col_nyq=col_nyq, post=1.0,
+        col_dc=col_dc, n_bins=n_bins, post=1.0,
     )
 
     def istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, out_ref):

@@ -328,3 +328,54 @@ def test_fused_chunked_grad_routes_through_jnp_twin():
     )(y)
     assert np.all(np.isfinite(np.asarray(g)))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Merged single-kernel gate vs the two-kernel split pipeline
+# ---------------------------------------------------------------------------
+MERGED_CASES = [
+    ("nonstat-default", False, 30000, 44100, {}),
+    ("nonstat-no-freq-smooth", False, 20000, 16000,
+     dict(freq_mask_smooth_hz=None)),
+    ("nonstat-prop", False, 30000, 44100, dict(prop_decrease=0.6)),
+    ("stationary-default", True, 30000, 44100, {}),
+]
+
+
+@pytest.mark.parametrize(
+    "name,stat,n,sr,kw", MERGED_CASES, ids=[c[0] for c in MERGED_CASES]
+)
+def test_merged_matches_split(name, stat, n, sr, kw, monkeypatch):
+    """The single-kernel merged gate and the split (kernel AM/AS + banded
+    matmul + kernel B) pipeline agree to f32 rounding: the only difference
+    is the frequency-smoothing contraction (128 in-tile lanes vs f_pad)."""
+    from noisereduce_tpu.ops import pallas_pipeline as pp
+
+    cfg = GateConfig(sr=sr, stationary=stat, **kw)
+    x = jnp.asarray(RNG.standard_normal((n,)), jnp.float32)
+    thr = None
+    if stat:
+        from noisereduce_tpu.models.spectral_gate import (
+            stationary_noise_threshold,
+        )
+
+        noise = jnp.asarray(RNG.standard_normal(20000), jnp.float32) * 0.5
+        thr = stationary_noise_threshold(noise, cfg, method="matmul",
+                                         use_pallas=False)
+    scfg = cfg.stft
+    geom = pp._geometry(scfg, n)
+    t_pad, hop = geom[5], geom[1]
+    ngf = cfg.smoothing[0] if cfg.smoothing else 0
+    assert pp._merged_supported(t_pad, hop, pp._merged_halo(ngf)), \
+        "case expected to take the merged kernel"
+    merged = np.asarray(
+        _fused_gate_impl(x, cfg, interpret=True, noise_thresh=thr), np.float64
+    )
+    monkeypatch.setattr(pp, "_merged_supported", lambda *a: False)
+    split = np.asarray(
+        _fused_gate_impl(x, cfg, interpret=True, noise_thresh=thr), np.float64
+    )
+    assert merged.shape == split.shape
+    dev = np.abs(merged - split).max()
+    scale = np.abs(split).max()
+    assert dev <= 5e-6 * scale, f"{name}: rel dev {dev / scale:.3e}"
