@@ -7,10 +7,10 @@ Prints ONE JSON line:
    "vs_baseline": RTF / reference_cpu_RTF, ...extras}
 
 The headline workload (960 s) matches round 1 for comparability. Extras:
-  - sustained_rtf_1920s: the same pipeline on a 2x workload — the remote
-    execution tunnel costs ~31 ms per launch (an environment artifact, not
-    the chip), which is 40% of the 960 s wall time; the longer workload
-    shows the sustained per-chip throughput.
+  - sustained_rtf_pipelined4: 4 pipelined dispatches of the headline graph
+    synced once — the remote execution tunnel costs ~31 ms per launch (an
+    environment artifact, not the chip), which is ~40% of the 960 s wall
+    time; pipelined launches amortize it the way a serving loop would.
   - fused_vs_staged_rel_dev: on-device max-rel deviation between the fused
     Pallas pipeline (the production path) and the staged XLA path on the
     same input — a live numerical-health assertion for the Mosaic kernels
@@ -32,7 +32,6 @@ import numpy as np
 
 SR = 48000
 DURATION_S = 960          # audio seconds per timed run on device (round-1 workload)
-SUSTAINED_S = 1920        # launch-amortized workload
 CHUNK = 600000            # reference default chunk geometry
 PAD = 30000
 REF_DURATION_S = 20       # reference CPU measurement length (RTF ~ length-free)
@@ -100,18 +99,56 @@ def _measure_tpu(extras):
     assert rel < 5e-3, f"fused vs staged rel dev {rel}"
     extras["fused_vs_staged_rel_dev"] = round(rel, 8)
 
-    # --- sustained (launch-amortized) workload --------------------------------
-    y1920 = jax.device_put(
-        jnp.asarray(rng.standard_normal((1, SR * SUSTAINED_S)), jnp.float32),
-        dev,
-    )
-    extras["sustained_rtf_1920s"] = round(SUSTAINED_S / timeit(fused, y1920), 1)
-    del y1920
+    # --- sustained (launch-amortized) throughput -----------------------------
+    # K pipelined dispatches of the already-compiled headline graph, synced
+    # once: amortizes the remote-execution tunnel's per-launch overhead
+    # (~31 ms, an environment artifact) the way a serving loop would —
+    # without compiling a second 2x-workload graph (the remote compile
+    # service is slow enough that every extra graph is minutes of wall).
+    def sustained(k=4, trials=3):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            outs = [fused(y960) for _ in range(k)]
+            for o in outs:
+                float(o)
+            best = min(best, time.perf_counter() - t0)
+        return k * DURATION_S / best
+
+    try:
+        extras["sustained_rtf_pipelined4"] = round(sustained(), 1)
+    except Exception as e:  # never lose the headline to an extra
+        extras["sustained_error"] = repr(e)[:120]
 
     # --- bf16 fast mode --------------------------------------------------------
-    y_bf = y960.astype(jnp.bfloat16)
-    t_bf = timeit(forward_fn("auto", jnp.bfloat16), y_bf)
-    extras["bf16_rtf"] = round(DURATION_S / t_bf, 1)
+    # bf16 input routes the fused kernels to single-pass bf16 MXU dots
+    # (Mosaic DEFAULT) instead of six true-f32 passes; planes/accumulators
+    # stay float32.
+    try:
+        y_bf = y960.astype(jnp.bfloat16)
+        t_bf = timeit(forward_fn("auto", jnp.bfloat16), y_bf)
+        extras["bf16_rtf"] = round(DURATION_S / t_bf, 1)
+
+        @jax.jit
+        def bfdev(y):
+            a = _run_nonstationary(y, cfg, CHUNK, PAD, "matmul",
+                                   use_pallas="auto")
+            b = _run_nonstationary(y.astype(jnp.bfloat16), cfg, CHUNK, PAD,
+                                   "matmul", use_pallas="auto")
+            return (
+                jnp.max(jnp.abs(a - b.astype(jnp.float32))),
+                jnp.max(jnp.abs(a)),
+            )
+
+        d, s = bfdev(y_small)
+        rel_bf = float(d) / max(float(s), 1e-30)
+        # soft-sigmoid non-stationary gate: bf16 dot quantization lands
+        # ~-45 dB rms (same envelope as the staged bf16 mode's pinned
+        # tests); beyond 5e-2 max-rel means a fast-mode kernel bug
+        assert rel_bf < 5e-2, f"bf16 vs f32 rel dev {rel_bf}"
+        extras["bf16_vs_f32_rel_dev"] = round(rel_bf, 6)
+    except Exception as e:
+        extras["bf16_error"] = repr(e)[:120]
 
     return rtf
 

@@ -48,6 +48,7 @@ no autodiff rule).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -328,6 +329,7 @@ def _hann_stencil_lanes(re, im, scale):
 def _spectra_phases(
     blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
     tc_ref, ts_ref, *, n_tb, n_tiles, r, ext, bin0, j, col_dc, n_bins, scale,
+    prec=_HIGHEST,
 ):
     """Hop-blocks -> windowed frame spectra, written into re_ref/im_ref.
 
@@ -358,7 +360,7 @@ def _spectra_phases(
     def fb_dot(s):
         xb = blocks_ref[pl.ds(s, _TB), :]
         fb = jnp.dot(
-            xb, cs, preferred_element_type=jnp.float32, precision=_HIGHEST
+            xb, cs, preferred_element_type=jnp.float32, precision=prec
         )
         re_ref[0, pl.ds(s, _TB), :] = jax.lax.slice_in_dim(fb, 0, _FT, axis=1)
         im_ref[0, pl.ds(s, _TB), :] = jax.lax.slice_in_dim(
@@ -370,7 +372,7 @@ def _spectra_phases(
     fb_dot(pl.multiple_of(0, _TB))
     tail = pl.multiple_of(n_tb * _TB, _TB)
     xb = blocks_ref[pl.ds(tail, ext), :]
-    fb = jnp.dot(xb, cs, preferred_element_type=jnp.float32, precision=_HIGHEST)
+    fb = jnp.dot(xb, cs, preferred_element_type=jnp.float32, precision=prec)
     tc_ref[...] = jax.lax.slice_in_dim(fb, 0, _FT, axis=1)
     ts_ref[...] = jax.lax.slice_in_dim(fb, _FT, 2 * _FT, axis=1)
 
@@ -444,7 +446,7 @@ def _am_kernel(
     blocks_hbm, c_ref, s_ref, re_ref, im_ref, mask_ref, tc_ref, ts_ref, y_ref,
     blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
-    scale, b, thresh, slope, vt, core=_CORE,
+    scale, b, thresh, slope, vt, core=_CORE, prec=_HIGHEST,
 ):
     """One (chunk, F-tile) cell: everything from hop-blocks to the
     (time-smoothed) non-stationary mask, with the windowed spectra as side
@@ -456,7 +458,7 @@ def _am_kernel(
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
-        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale,
+        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale, prec=prec,
     )
 
     # ---- phase 3: IIR floor + sigmoid mask (magnitude recomputed from the
@@ -484,7 +486,7 @@ def _am_kernel(
         xb = jnp.where(ridx == 0, xb * jnp.float32(1.0 / b), xb)
         y_ref[pl.ds(start, _TB), :] = jnp.dot(
             l_ref[...], xb, preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
+            precision=prec,
         )
 
     fwd_dot(pl.multiple_of(0, _TB))
@@ -508,7 +510,7 @@ def _am_kernel(
         yb = jnp.where(ridx > t_real - 1, 0.0, yb)
         mask_ref[0, pl.ds(start, _TB), :] = jnp.dot(
             lt_ref[...], yb, preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
+            precision=prec,
         )
 
     bwd_dot(pl.multiple_of((n_tb - 1) * _TB, _TB))
@@ -543,6 +545,7 @@ def _as_kernel(
     tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
     scale, top_db, prop, vt, self_stats=False, n_std=0.0, core=_CORE,
+    prec=_HIGHEST,
 ):
     """Stationary twin of ``_am_kernel``: hop-blocks -> windowed spectra +
     stationary mask (reference stationary.py:83-126).
@@ -565,7 +568,7 @@ def _as_kernel(
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
-        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale,
+        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale, prec=prec,
     )
 
     # ---- pass A: dB spectrogram (into y_ref) + running per-bin max -------
@@ -740,6 +743,7 @@ def _spectra_kernel(
 def _apply_istft_kernel(
     re_ref, im_ref, mask_ref, ci_ref, si_ref, out_ref,
     *, n_tb, n_tiles, r, hop, bin0_base, col_dc, n_bins, post, core=_CORE,
+    prec=_HIGHEST,
 ):
     """One (chunk, F-tile) cell: out_block[m] = iDFT_hop(sum_k tw'_k·Y[m-k])
     with Y = HannStencil(Z_w·mask)·win_sum computed on the fly per (_TB+8)-row
@@ -787,7 +791,7 @@ def _apply_istft_kernel(
         # the contraction — doubles the MXU K depth vs two 128-K dots
         u = jnp.concatenate([ure, uim], axis=1)
         pk = jnp.dot(
-            u, cisi, preferred_element_type=jnp.float32, precision=_HIGHEST
+            u, cisi, preferred_element_type=jnp.float32, precision=prec
         )
         out_ref[0, pl.ds(s, _TB), :] = out_ref[0, pl.ds(s, _TB), :] + pk
         return (
@@ -805,7 +809,9 @@ def _apply_istft_kernel(
 # ---------------------------------------------------------------------------
 # Merged single-kernel gate (spectra + mask + smoothing + iSTFT in one cell)
 # ---------------------------------------------------------------------------
-def _freq_smooth_blend_phase(mask_ref, band_ref, *, n_tb, t_real, prop):
+def _freq_smooth_blend_phase(
+    mask_ref, band_ref, *, n_tb, t_real, prop, prec=_HIGHEST
+):
     """In-kernel frequency smoothing and/or post-smoothing blend, in place.
 
     The banded 'same' conv along bins is one (_TB, _FT) @ (_FT, _FT) MXU dot
@@ -821,7 +827,7 @@ def _freq_smooth_blend_phase(mask_ref, band_ref, *, n_tb, t_real, prop):
         if band_ref is not None:
             m = jnp.dot(
                 m, band_ref[...], preferred_element_type=jnp.float32,
-                precision=_HIGHEST,
+                precision=prec,
             )
         if prop is not None:
             m = m * jnp.float32(prop) + jnp.float32(1.0 - prop)
@@ -854,8 +860,12 @@ def _merged_vmem_bytes(t_pad: int, hop: int) -> int:
 
 # The Mosaic scoped-VMEM default is 16 MiB, but v5e-class chips carry
 # 128 MiB of physical VMEM; the merged kernel raises the scoped limit via
-# CompilerParams and gates itself on this budget instead.
-_MERGED_VMEM_LIMIT = 96 * 1024 * 1024
+# CompilerParams and gates itself on this budget instead. Overridable per
+# deployment (the bench geometry's ~22 MiB request is chip-proven; larger
+# requests up to this ceiling are extrapolation).
+_MERGED_VMEM_LIMIT = int(
+    float(os.environ.get("NRTPU_MERGED_VMEM_BYTES", 96 * 1024 * 1024))
+)
 
 
 def _merged_compiler_params(t_pad: int, hop: int):
@@ -894,7 +904,8 @@ def _split_vmem_ok(t_pad: int, hop: int) -> bool:
 
 
 def _merged_gate_from_blocks(
-    blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None
+    blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None,
+    fast=False,
 ):
     """Single-kernel twin of ``_fused_gate_from_blocks``: the spectra and
     mask planes live only in VMEM scratch, the frequency smoothing is an
@@ -930,16 +941,20 @@ def _merged_gate_from_blocks(
 
     scale = 1.0 / float(_analysis_window_np(scfg).sum())
     post = float(_analysis_window_np(scfg).sum())
+    # fast (bfloat16) mode: every MXU dot runs one bf16 pass (Mosaic
+    # DEFAULT) instead of six true-f32 passes; planes/accumulators stay f32
+    prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
 
     common = dict(
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
         bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
-        core=_FT - 2 * halo,
+        core=_FT - 2 * halo, prec=prec,
     )
     bk = functools.partial(
         _apply_istft_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
         col_dc=col_dc, n_bins=n_bins, post=post, core=_FT - 2 * halo,
+        prec=prec,
     )
 
     blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -982,7 +997,7 @@ def _merged_gate_from_blocks(
         )
         fs = functools.partial(
             _freq_smooth_blend_phase, n_tb=n_tb, t_real=n_frames,
-            prop=cfg.prop_decrease,
+            prop=cfg.prop_decrease, prec=prec,
         )
 
         if band_np is None:
@@ -1047,6 +1062,7 @@ def _merged_gate_from_blocks(
         )
         fs = functools.partial(
             _freq_smooth_blend_phase, n_tb=n_tb, t_real=n_frames, prop=None,
+            prec=prec,
         )
 
         if band_np is None:
@@ -1335,6 +1351,7 @@ def _fused_stft_planes(x, scfg, interpret):
 
 def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     scfg = cfg.stft
+    fast = chunk.dtype == jnp.bfloat16  # opt-in bf16 fast mode
     n_samples = chunk.shape[-1]
     batch_shape = chunk.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -1355,7 +1372,7 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
 
     y = _fused_gate_from_blocks(
         blocks, cfg, n_samples, interpret, noise_thresh,
-        out_slice=(0, n_samples),
+        out_slice=(0, n_samples), fast=fast,
     )
     # zero-fill back to the chunk length (reference writes the shorter istft
     # into a zeros buffer, nonstationary.py:49,95)
@@ -1366,7 +1383,8 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
 
 
 def _fused_gate_from_blocks(
-    blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None
+    blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None,
+    fast=False,
 ):
     """Core of the fused scipy-convention gate: pre-built hop blocks
     (B, nb_pad, hop) -> gated signal (B, istft_len) — istft_len =
@@ -1383,7 +1401,7 @@ def _fused_gate_from_blocks(
     _ngf = cfg.smoothing[0] if cfg.smoothing else 0
     if _merged_supported(t_pad, hop, _merged_halo(_ngf)):
         return _merged_gate_from_blocks(
-            blocks, cfg, n_samples, interpret, noise_thresh, out_slice
+            blocks, cfg, n_samples, interpret, noise_thresh, out_slice, fast
         )
     f_pad = n_tiles * _FT
     n_tb = t_pad // _TB
@@ -1413,6 +1431,8 @@ def _fused_gate_from_blocks(
     post = float(_analysis_window_np(scfg).sum()) if (
         scfg.convention == Convention.SCIPY
     ) else 1.0
+    # fast (bfloat16) mode: one bf16 MXU pass per dot instead of six
+    prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
 
     # ---- kernel AM ----------------------------------------------------------
     blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -1449,7 +1469,7 @@ def _fused_gate_from_blocks(
             n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
             bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
             b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
-            slope=cfg.sigmoid_slope_nonstationary, vt=vt,
+            slope=cfg.sigmoid_slope_nonstationary, vt=vt, prec=prec,
         )
 
         def am_kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
@@ -1491,7 +1511,7 @@ def _fused_gate_from_blocks(
             _as_kernel,
             n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
             bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
-            top_db=80.0, prop=cfg.prop_decrease, vt=vt,
+            top_db=80.0, prop=cfg.prop_decrease, vt=vt, prec=prec,
         )
 
         def as_kernel(b_ref, c_ref, s_ref, t_ref, re_ref, im_ref, mask_ref,
@@ -1513,7 +1533,7 @@ def _fused_gate_from_blocks(
     if n_grad_freq >= 1:
         w = jnp.asarray(_freq_band_np(n_grad_freq, n_bins, n_tiles))
         mask = jnp.matmul(
-            mask, w, preferred_element_type=jnp.float32, precision=_HIGHEST
+            mask, w, preferred_element_type=jnp.float32, precision=prec
         )
     if noise_thresh is None:
         # non-stationary blends AFTER smoothing (nonstationary.py:78-84);
@@ -1539,7 +1559,7 @@ def _fused_gate_from_blocks(
     bk = functools.partial(
         _apply_istft_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
-        col_dc=col_dc, n_bins=n_bins, post=post,
+        col_dc=col_dc, n_bins=n_bins, post=post, prec=prec,
     )
 
     def istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, out_ref):
@@ -1625,6 +1645,7 @@ _fused_chunked_cvjp.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)
 
 def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
     scfg = cfg.stft
+    fast = y2d.dtype == jnp.bfloat16  # opt-in bf16 fast mode
     ch, n = y2d.shape
     k = (n - 1) // chunk_size + 1
     view = chunk_size + 2 * padding
@@ -1655,7 +1676,7 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
 
     core = _fused_gate_from_blocks(
         blocks, cfg, view, interpret, noise_thresh,
-        out_slice=(padding, chunk_size),
+        out_slice=(padding, chunk_size), fast=fast,
     )
     if core.shape[-1] < chunk_size:  # tiny paddings: istft tail zero-fill
         core = jnp.pad(core, [(0, 0), (0, chunk_size - core.shape[-1])])

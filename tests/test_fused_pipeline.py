@@ -379,3 +379,23 @@ def test_merged_matches_split(name, stat, n, sr, kw, monkeypatch):
     dev = np.abs(merged - split).max()
     scale = np.abs(split).max()
     assert dev <= 5e-6 * scale, f"{name}: rel dev {dev / scale:.3e}"
+
+
+def test_bf16_fast_mode_routes_and_bounded():
+    """bf16 input switches every kernel dot to single-pass bf16 MXU
+    (Mosaic DEFAULT). In interpret mode DEFAULT is still true f32, so the
+    only deviation here is the bf16 input quantization — this pins the
+    plumbing (dtype round-trip + trace) rather than the on-device envelope,
+    which bench.py asserts on real TPU."""
+    from noisereduce_tpu.ops.pallas_pipeline import _fused_chunked_impl
+
+    cfg = GateConfig(sr=8000, stationary=False)
+    y32 = jnp.asarray(RNG.standard_normal((1, 12000)), jnp.float32)
+    y16 = y32.astype(jnp.bfloat16)
+    a = _fused_chunked_impl(y32, None, cfg, 5000, 300, True)
+    b = _fused_chunked_impl(y16, None, cfg, 5000, 300, True)
+    assert b.dtype == jnp.bfloat16
+    dev = np.abs(
+        np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    ).max()
+    assert dev <= 2e-2 * np.abs(np.asarray(a)).max()
