@@ -7,10 +7,10 @@ Prints ONE JSON line:
    "vs_baseline": RTF / reference_cpu_RTF, ...extras}
 
 The headline workload (960 s) matches round 1 for comparability. Extras:
-  - sustained_rtf_pipelined4: 4 pipelined dispatches of the headline graph
-    synced once — the remote execution tunnel costs ~31 ms per launch (an
-    environment artifact, not the chip), which is ~40% of the 960 s wall
-    time; pipelined launches amortize it the way a serving loop would.
+  - sustained_rtf_batch4: 4 channels of the headline workload in one
+    launch — the remote execution tunnel costs ~31 ms per launch (an
+    environment artifact, not the chip), ~47% of the single-channel wall
+    time; the batch shape amortizes it the way a serving loop would.
   - fused_vs_staged_rel_dev: on-device max-rel deviation between the fused
     Pallas pipeline (the production path) and the staged XLA path on the
     same input — a live numerical-health assertion for the Mosaic kernels
@@ -100,23 +100,22 @@ def _measure_tpu(extras):
     extras["fused_vs_staged_rel_dev"] = round(rel, 8)
 
     # --- sustained (launch-amortized) throughput -----------------------------
-    # K pipelined dispatches of the already-compiled headline graph, synced
-    # once: amortizes the remote-execution tunnel's per-launch overhead
-    # (~31 ms, an environment artifact) the way a serving loop would —
-    # without compiling a second 2x-workload graph (the remote compile
-    # service is slow enough that every extra graph is minutes of wall).
-    def sustained(k=4, trials=3):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            outs = [fused(y960) for _ in range(k)]
-            for o in outs:
-                float(o)
-            best = min(best, time.perf_counter() - t0)
-        return k * DURATION_S / best
-
+    # 4 independent channels of the headline workload in ONE launch (the
+    # serving shape): amortizes the remote-execution tunnel's ~31 ms
+    # per-launch overhead (an environment artifact) over 4x the audio.
+    # (Pipelined multi-dispatch of the single-channel graph was tried and
+    # is at the mercy of the tunnel's queue behavior, which degraded
+    # mid-round-2 from 15.7k to 3.3k RTF on identical code.)
     try:
-        extras["sustained_rtf_pipelined4"] = round(sustained(), 1)
+        y4 = jax.device_put(
+            jnp.asarray(
+                rng.standard_normal((4, SR * DURATION_S)), jnp.float32
+            ),
+            dev,
+        )
+        t4 = timeit(fused, y4, reps=3)
+        extras["sustained_rtf_batch4"] = round(4 * DURATION_S / t4, 1)
+        del y4
     except Exception as e:  # never lose the headline to an extra
         extras["sustained_error"] = repr(e)[:120]
 

@@ -646,7 +646,7 @@ def _mt_kernel(
     blocks_hbm, c_ref, s_ref, band_ref, re_ref, im_ref, mask_ref,
     tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
-    scale, n_thresh, temp, prop, vt, core=_CORE,
+    scale, n_thresh, temp, prop, vt, core=_CORE, prec=_HIGHEST,
 ):
     """Torch-convention non-stationary mask (TorchGate, torchgate.py:167-198):
     moving-average noise floor + temperature sigmoid + pre-smoothing
@@ -665,7 +665,7 @@ def _mt_kernel(
     _spectra_phases(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
-        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale,
+        j=j, col_dc=col_dc, n_bins=n_bins, scale=scale, prec=prec,
     )
 
     # ---- pass 1: |Z| into y_ref ------------------------------------------
@@ -697,7 +697,7 @@ def _mt_kernel(
         cur = parts[K]
         window = jnp.concatenate(parts, axis=0)
         ma = jnp.dot(band_ref[...], window, preferred_element_type=jnp.float32,
-                     precision=_HIGHEST)
+                     precision=prec)
         safe = jnp.where(ma == 0.0, 1.0, ma)
         ratio = (cur - ma) / safe
         m = jax.nn.sigmoid((ratio - jnp.float32(n_thresh)) / jnp.float32(temp))
@@ -1801,6 +1801,8 @@ def _torch_threshold_stats(xn2, gate, interpret):
 
 def _fused_torch_impl(x, xn, gate, interpret):
     scfg = gate.stft_config
+    fast = x.dtype == jnp.bfloat16  # opt-in bf16 fast mode
+    prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
     n_samples = x.shape[-1]
     B = x.shape[0]  # TPUGate contract: (batch, signal_length)
     win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
@@ -1860,6 +1862,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
     common = dict(
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
         bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=1.0,
+        prec=prec,
     )
 
     if gate.nonstationary:
@@ -1944,7 +1947,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
     if freq_taps is not None:
         w = jnp.asarray(_band_from_taps_np(freq_taps, n_bins, n_tiles))
         mask = jnp.matmul(
-            mask, w, preferred_element_type=jnp.float32, precision=_HIGHEST
+            mask, w, preferred_element_type=jnp.float32, precision=prec
         )
     # (the prop_decrease blend already happened in-kernel BEFORE smoothing —
     # the torch-path order, torchgate.py:241-249)
@@ -1959,7 +1962,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
     bk = functools.partial(
         _apply_istft_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
-        col_dc=col_dc, n_bins=n_bins, post=1.0,
+        col_dc=col_dc, n_bins=n_bins, post=1.0, prec=prec,
     )
 
     def istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, out_ref):

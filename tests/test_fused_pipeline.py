@@ -399,3 +399,25 @@ def test_bf16_fast_mode_routes_and_bounded():
         np.asarray(a, np.float64) - np.asarray(b, np.float64)
     ).max()
     assert dev <= 2e-2 * np.abs(np.asarray(a)).max()
+
+
+def test_bf16_fast_mode_torch_path():
+    """Torch-convention twin of the bf16 routing test: bf16 input keeps the
+    TPUGate fused kernels' dtype round-trip and trace intact (single-pass
+    MXU dots on device; DEFAULT == f32 in interpret mode)."""
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops.pallas_pipeline import (
+        _fused_torch_impl,
+        fused_tpugate_supported,
+    )
+
+    gate = TPUGate(sr=16000, nonstationary=True)
+    x32 = jnp.asarray(RNG.standard_normal((2, 16000)), jnp.float32)
+    assert fused_tpugate_supported(gate, 16000)
+    a = _fused_torch_impl(x32, None, gate, True)
+    b = _fused_torch_impl(x32.astype(jnp.bfloat16), None, gate, True)
+    assert b.dtype == jnp.bfloat16
+    dev = np.abs(
+        np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    ).max()
+    assert dev <= 2e-2 * np.abs(np.asarray(a)).max()
