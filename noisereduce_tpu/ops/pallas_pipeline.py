@@ -1799,16 +1799,31 @@ def _torch_threshold_stats(xn2, gate, interpret):
     )
 
 
-def _fused_torch_impl(x, xn, gate, interpret):
+
+def _torch_merged_halo(freq_taps) -> int:
+    """Tile halo for the merged torch kernel: 2 Hann-stencil levels plus
+    the (SVD rank-1) frequency-smoothing half-width when smoothing is on."""
+    if freq_taps is None:
+        return _HALO
+    return (len(freq_taps) - 1) // 2 + 2
+
+
+def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
+    """Single-kernel twin of the split torch path (mt/as kernel + XLA banded
+    matmul + kernel B): spectra and mask planes stay in VMEM scratch, the
+    frequency smoothing is an in-tile banded dot over a widened halo, and
+    the only HBM output is the OLA hop-block plane. Same math and quirk
+    order as the split path (in-kernel blend BEFORE smoothing,
+    torchgate.py:241-249; torch istft tail)."""
     scfg = gate.stft_config
-    fast = x.dtype == jnp.bfloat16  # opt-in bf16 fast mode
+    fast = x.dtype == jnp.bfloat16
     prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
     n_samples = x.shape[-1]
-    B = x.shape[0]  # TPUGate contract: (batch, signal_length)
+    B = x.shape[0]
+    halo = _torch_merged_halo(freq_taps)
     win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
-        scfg, n_samples
+        scfg, n_samples, halo
     )
-    f_pad = n_tiles * _FT
     n_tb = t_pad // _TB
     n_bins = scfg.n_bins
 
@@ -1821,10 +1836,195 @@ def _fused_torch_impl(x, xn, gate, interpret):
         x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
     )
 
-    c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
-    ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
-    col_dc = _HALO - 1
-    bin0_base = -_HALO
+    c_np, s_np = _block_dft_consts_np(scfg, n_tiles, halo)
+    ci_np, si_np = _block_idft_consts_np(scfg, n_tiles, halo)
+    col_dc = halo - 1
+    bin0_base = -halo
+    band_np = (
+        None if freq_taps is None
+        else _tile_band_np(freq_taps, n_bins, n_tiles, halo)
+    )
+
+    common = dict(
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+        bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=1.0,
+        core=_FT - 2 * halo, prec=prec,
+    )
+    bk = functools.partial(
+        _apply_istft_kernel,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
+        col_dc=col_dc, n_bins=n_bins, post=1.0, core=_FT - 2 * halo,
+        prec=prec,
+    )
+    fs = functools.partial(
+        _freq_smooth_blend_phase, n_tb=n_tb, t_real=n_frames, prop=None,
+        prec=prec,
+    )
+
+    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    cmat_spec = pl.BlockSpec(
+        (1, hop, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    idft_spec = pl.BlockSpec(
+        (1, _FT, hop), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    band_spec = pl.BlockSpec(
+        (1, _FT, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, t_pad, hop), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # re_w plane
+        pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # im_w plane
+        pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # mask plane
+        pltpu.VMEM((ext, _FT), jnp.float32),       # FB tail, real
+        pltpu.VMEM((ext, _FT), jnp.float32),       # FB tail, imag
+        pltpu.VMEM((t_pad, _FT), jnp.float32),     # mag / dB / staging
+        pltpu.VMEM((nb_pad, hop), jnp.float32),    # hop blocks (DMA'd per i)
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    out_shape = jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32)
+
+    if gate.nonstationary:
+        ma_np = _movemean_band_np(gate.n_movemean_nonstationary)
+        ma_spec = pl.BlockSpec(
+            ma_np.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        )
+        mt = functools.partial(
+            _mt_kernel, **common,
+            n_thresh=gate.n_thresh_nonstationary,
+            temp=gate.temp_coeff_nonstationary,
+            prop=gate.prop_decrease, vt=vt,
+        )
+
+        if band_np is None:
+            def kernel(b_ref, c_ref, s_ref, ma_ref, ci_ref, si_ref, out_ref,
+                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                mt(b_ref, c_ref[0], s_ref[0], ma_ref, re_s, im_s, mask_s,
+                   tc, ts, y_s, bv, sem)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, ma_spec,
+                        idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np),
+                jnp.asarray(ma_np), jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+        else:
+            def kernel(b_ref, c_ref, s_ref, ma_ref, band_ref, ci_ref, si_ref,
+                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                mt(b_ref, c_ref[0], s_ref[0], ma_ref, re_s, im_s, mask_s,
+                   tc, ts, y_s, bv, sem)
+                fs(mask_s, band_ref[0])
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, ma_spec, band_spec,
+                        idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np),
+                jnp.asarray(ma_np), jnp.asarray(band_np),
+                jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+    else:
+        self_stats = xn is None
+        if self_stats:
+            thr_tiles = jnp.zeros((1, n_tiles, 8, _FT), jnp.float32)
+            reps = B
+        else:
+            xn2 = xn if xn.ndim == 2 else xn[None]
+            bn = xn2.shape[0]
+            reps = B // bn
+            thr = _torch_threshold_stats(
+                xn2.astype(jnp.float32), gate, interpret
+            )  # (bn, n_bins)
+            bins = np.concatenate(
+                [_tile_bins(j, halo) for j in range(n_tiles)]
+            )
+            valid = (bins >= 0) & (bins < n_bins)
+            idx = np.clip(bins, 0, n_bins - 1)
+            thr_flat = jnp.where(
+                jnp.asarray(valid)[None],
+                thr[:, jnp.asarray(idx)],
+                jnp.float32(1e30),
+            )
+            thr_tiles = jnp.tile(
+                thr_flat.reshape(-1, n_tiles, 1, _FT), (1, 1, 8, 1)
+            )
+        thr_spec = pl.BlockSpec(
+            (1, 1, 8, _FT),
+            lambda i, j: (i // reps, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        ask = functools.partial(
+            _as_kernel, **common,
+            top_db=40.0, prop=gate.prop_decrease, vt=vt,
+            self_stats=self_stats, n_std=gate.n_std_thresh_stationary,
+        )
+
+        if band_np is None:
+            def kernel(b_ref, c_ref, s_ref, t_ref, ci_ref, si_ref, out_ref,
+                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                ask(b_ref, c_ref[0], s_ref[0], t_ref[0, 0], re_s, im_s,
+                    mask_s, tc, ts, y_s, bv, sem)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
+                        idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
+                jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+        else:
+            def kernel(b_ref, c_ref, s_ref, t_ref, band_ref, ci_ref, si_ref,
+                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                ask(b_ref, c_ref[0], s_ref[0], t_ref[0, 0], re_s, im_s,
+                    mask_s, tc, ts, y_s, bv, sem)
+                fs(mask_s, band_ref[0])
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
+                        band_spec, idft_spec, idft_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
+                jnp.asarray(band_np), jnp.asarray(ci_np), jnp.asarray(si_np),
+            )
+
+    out_blocks = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_merged_compiler_params(t_pad, hop),
+        interpret=interpret,
+    )(*operands)
+
+    # ---- XLA: torch istft tail: trim n_fft//2, natural length, envelope ------
+    full = win + (n_frames - 1) * hop
+    y = out_blocks.reshape(B, t_pad * hop)[:, :full]
+    trim = scfg.n_fft // 2
+    out_len = (n_frames - 1) * hop
+    y = y[:, trim : trim + out_len]
+    norm = _ola_norm_np(scfg, n_frames)[trim : trim + out_len]
+    norm = np.where(norm > 1e-11, norm, 1.0)
+    y = y / jnp.asarray(norm, jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _fused_torch_impl(x, xn, gate, interpret):
+    scfg = gate.stft_config
+    fast = x.dtype == jnp.bfloat16  # opt-in bf16 fast mode
+    prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
+    n_samples = x.shape[-1]
+    B = x.shape[0]  # TPUGate contract: (batch, signal_length)
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, n_samples
+    )
+    f_pad = n_tiles * _FT
+    n_tb = t_pad // _TB
+    n_bins = scfg.n_bins
 
     # SVD rank-1 factors of the reference's f32-rounded smoothing kernel
     # (ops/dsp._torchgate_kernel_svd_np; trailing ranks are ~1e-8 rounding
@@ -1839,6 +2039,23 @@ def _fused_torch_impl(x, xn, gate, interpret):
     else:
         freq_taps = None
         vt = None
+
+    if _merged_supported(t_pad, hop, _torch_merged_halo(freq_taps)):
+        return _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt)
+
+    x2 = x.reshape(B, n_samples).astype(jnp.float32)
+    pad = scfg.boundary_pad
+    need = n_blocks * hop
+    right = max(pad, need - n_samples - pad)
+    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
+    blocks = jnp.pad(
+        x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
+    )
+
+    c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
+    ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
+    col_dc = _HALO - 1
+    bin0_base = -_HALO
 
     blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     cmat_spec = pl.BlockSpec(

@@ -421,3 +421,36 @@ def test_bf16_fast_mode_torch_path():
         np.asarray(a, np.float64) - np.asarray(b, np.float64)
     ).max()
     assert dev <= 2e-2 * np.abs(np.asarray(a)).max()
+
+
+TORCH_MERGED_CASES = [
+    ("nonstat", True, {}, False),
+    ("nonstat-nosmooth", True,
+     dict(freq_mask_smooth_hz=None, time_mask_smooth_ms=None), False),
+    ("stat-selfnoise", False, {}, False),
+    ("stat-xn", False, {}, True),
+]
+
+
+@pytest.mark.parametrize(
+    "name,nonstat,kw,use_xn", TORCH_MERGED_CASES,
+    ids=[c[0] for c in TORCH_MERGED_CASES],
+)
+def test_torch_merged_matches_split(name, nonstat, kw, use_xn, monkeypatch):
+    """The single-kernel merged torch gate agrees with the split
+    (mt/as kernel + XLA banded matmul + kernel B) path to f32 rounding."""
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops import pallas_pipeline as pp
+
+    gate = TPUGate(sr=16000, nonstationary=nonstat, **kw)
+    x = jnp.asarray(RNG.standard_normal((2, 16000)), jnp.float32)
+    xn = (
+        jnp.asarray(RNG.standard_normal((1, 8000)), jnp.float32) * 0.5
+        if use_xn else None
+    )
+    merged = np.asarray(pp._fused_torch_impl(x, xn, gate, True), np.float64)
+    monkeypatch.setattr(pp, "_merged_supported", lambda *a: False)
+    split = np.asarray(pp._fused_torch_impl(x, xn, gate, True), np.float64)
+    assert merged.shape == split.shape
+    dev = np.abs(merged - split).max()
+    assert dev <= 5e-6 * np.abs(split).max(), f"{name}"
