@@ -39,6 +39,11 @@ REF_DURATION_S = 20       # reference CPU measurement length (RTF ~ length-free)
 
 def _measure_tpu(extras):
     import jax
+
+    # persistent compile cache: repeated bench runs skip the (slow, possibly
+    # remote) compilation of unchanged graphs — works through the remote
+    # tunnel only via jax.config.update, not the env var
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nr_tpu_jax_cache")
     import jax.numpy as jnp
 
     from noisereduce_tpu.config import GateConfig
@@ -167,9 +172,13 @@ def _measure_reference_cpu_rtf():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         nr_ref.reduce_noise(y=y[: SR * 2], sr=SR)  # warm imports/caches
-        t0 = time.perf_counter()
-        nr_ref.reduce_noise(y=y, sr=SR, chunk_size=CHUNK, padding=PAD)
-        dt = time.perf_counter() - t0
+        # best of 3: the host is variably loaded and a single slow run
+        # inflates vs_baseline unfairly in our favor
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            nr_ref.reduce_noise(y=y, sr=SR, chunk_size=CHUNK, padding=PAD)
+            dt = min(dt, time.perf_counter() - t0)
     return REF_DURATION_S / dt
 
 
