@@ -329,7 +329,7 @@ def _hann_stencil_lanes(re, im, scale):
 def _spectra_phases(
     blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
     tc_ref, ts_ref, *, n_tb, n_tiles, r, ext, bin0, j, col_dc, n_bins, scale,
-    prec=_HIGHEST,
+    prec=_HIGHEST, boundary=None,
 ):
     """Hop-blocks -> windowed frame spectra, written into re_ref/im_ref.
 
@@ -338,14 +338,57 @@ def _spectra_phases(
     would be double-buffered and blow the 16 MiB budget. FB is staged in
     the output refs (phase 2 consumes each row window before overwriting)
     plus an ext-row tail scratch.
+
+    ``boundary=(bpad, view)``: the HBM input then carries only the raw
+    n_blocks rows (no trailing zero rows, no zeroed chunk boundary) and the
+    scipy per-chunk boundary semantics — zeros outside
+    [bpad, bpad + view) of the extended chunk — are applied here right
+    after the DMA, saving XLA a full where+pad pass over the blocks
+    (~2-3 ms/960 s). All offsets are static: bpad is a whole number of hop
+    rows for the supported r in {2, 4}.
     """
     i = pl.program_id(0)
+    nb_pad, hop = blocks_ref.shape
 
     @pl.when(j == 0)
     def _():
-        dma = pltpu.make_async_copy(blocks_hbm.at[i], blocks_ref, dma_sem)
-        dma.start()
-        dma.wait()
+        if boundary is None:
+            dma = pltpu.make_async_copy(blocks_hbm.at[i], blocks_ref, dma_sem)
+            dma.start()
+            dma.wait()
+        else:
+            bpad, view = boundary
+            n_src = blocks_hbm.shape[1]
+            dma = pltpu.make_async_copy(
+                blocks_hbm.at[i], blocks_ref.at[pl.ds(0, n_src)], dma_sem
+            )
+            dma.start()
+            dma.wait()
+            zero = jnp.float32(0.0)
+            # rows the DMA did not fill
+            if n_src < nb_pad:
+                blocks_ref[pl.ds(n_src, nb_pad - n_src), :] = jnp.full(
+                    (nb_pad - n_src, hop), zero
+                )
+            # leading boundary: positions < bpad are whole rows
+            head = bpad // hop
+            if head:
+                blocks_ref[pl.ds(0, head), :] = jnp.full((head, hop), zero)
+            # trailing boundary: positions >= bpad + view
+            er, ec = divmod(bpad + view, hop)
+            if er < n_src and ec:
+                col = jax.lax.broadcasted_iota(jnp.int32, (8, hop), 1)
+                blk = blocks_ref[pl.ds(er - er % 8, 8), :]
+                row = jax.lax.broadcasted_iota(jnp.int32, (8, hop), 0)
+                keep = (row != er % 8) | (col < ec)
+                blocks_ref[pl.ds(er - er % 8, 8), :] = jnp.where(
+                    keep, blk, zero
+                )
+            full_from = er + (1 if ec else 0)
+            if full_from < n_src:
+                blocks_ref[pl.ds(full_from, n_src - full_from), :] = jnp.full(
+                    (n_src - full_from, hop), zero
+                )
 
     # ---- phases 1+2, software-pipelined: the FB dot for block tb+1 issues
     # in the same loop body as the (VPU-only) twiddle/Hann combine for
@@ -446,7 +489,7 @@ def _am_kernel(
     blocks_hbm, c_ref, s_ref, re_ref, im_ref, mask_ref, tc_ref, ts_ref, y_ref,
     blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
-    scale, b, thresh, slope, vt, core=_CORE, prec=_HIGHEST,
+    scale, b, thresh, slope, vt, core=_CORE, prec=_HIGHEST, boundary=None,
 ):
     """One (chunk, F-tile) cell: everything from hop-blocks to the
     (time-smoothed) non-stationary mask, with the windowed spectra as side
@@ -459,6 +502,7 @@ def _am_kernel(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
         j=j, col_dc=col_dc, n_bins=n_bins, scale=scale, prec=prec,
+        boundary=boundary,
     )
 
     # ---- phase 3: IIR floor + sigmoid mask (magnitude recomputed from the
@@ -545,7 +589,7 @@ def _as_kernel(
     tc_ref, ts_ref, y_ref, blocks_ref, dma_sem,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
     scale, top_db, prop, vt, self_stats=False, n_std=0.0, core=_CORE,
-    prec=_HIGHEST,
+    prec=_HIGHEST, boundary=None,
 ):
     """Stationary twin of ``_am_kernel``: hop-blocks -> windowed spectra +
     stationary mask (reference stationary.py:83-126).
@@ -569,6 +613,7 @@ def _as_kernel(
         blocks_hbm, blocks_ref, dma_sem, c_ref, s_ref, re_ref, im_ref,
         tc_ref, ts_ref, n_tb=n_tb, n_tiles=n_tiles, r=r, ext=ext, bin0=bin0,
         j=j, col_dc=col_dc, n_bins=n_bins, scale=scale, prec=prec,
+        boundary=boundary,
     )
 
     # ---- pass A: dB spectrogram (into y_ref) + running per-bin max -------
@@ -743,7 +788,7 @@ def _spectra_kernel(
 def _apply_istft_kernel(
     re_ref, im_ref, mask_ref, ci_ref, si_ref, out_ref,
     *, n_tb, n_tiles, r, hop, bin0_base, col_dc, n_bins, post, core=_CORE,
-    prec=_HIGHEST,
+    prec=_HIGHEST, inv=None,
 ):
     """One (chunk, F-tile) cell: out_block[m] = iDFT_hop(sum_k tw'_k·Y[m-k])
     with Y = HannStencil(Z_w·mask)·win_sum computed on the fly per (_TB+8)-row
@@ -805,6 +850,24 @@ def _apply_istft_kernel(
     )
     jax.lax.fori_loop(0, n_tb, body, carry0)
 
+    if inv is not None:
+        # OLA-envelope division folded into the kernel: after the LAST
+        # tile's contributions land, scale the accumulated hop-block rows
+        # by the trace-time 1/norm plane (saves XLA a full read+write pass
+        # over the output). The grid iterates j innermost, so j ==
+        # n_tiles-1 sees the completed accumulation for this chunk.
+        @pl.when(pl.program_id(1) == n_tiles - 1)
+        def _():
+            def scale_body(tb, _):
+                s = pl.multiple_of(tb * _TB, _TB)
+                out_ref[0, pl.ds(s, _TB), :] = (
+                    out_ref[0, pl.ds(s, _TB), :] * inv[0, pl.ds(s, _TB), :]
+                )
+                return 0
+
+            t_pad = out_ref.shape[1]
+            jax.lax.fori_loop(0, t_pad // _TB, scale_body, 0)
+
 
 # ---------------------------------------------------------------------------
 # Merged single-kernel gate (spectra + mask + smoothing + iSTFT in one cell)
@@ -854,8 +917,9 @@ def _merged_vmem_bytes(t_pad: int, hop: int) -> int:
     planes = 4 * t_pad * _FT * 4
     blocks = (t_pad + 8) * hop * 4
     out = 2 * t_pad * hop * 4
+    inv = 2 * t_pad * hop * 4  # 1/OLA-envelope plane (kernel B epilogue)
     consts = 2 * (4 * hop * _FT * 4 + 3 * _FT * _FT * 4) + 4 * _TB * _TB * 4
-    return planes + blocks + out + consts
+    return planes + blocks + out + inv + consts
 
 
 # The Mosaic scoped-VMEM default is 16 MiB, but v5e-class chips carry
@@ -905,7 +969,7 @@ def _split_vmem_ok(t_pad: int, hop: int) -> bool:
 
 def _merged_gate_from_blocks(
     blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None,
-    fast=False,
+    fast=False, boundary=None,
 ):
     """Single-kernel twin of ``_fused_gate_from_blocks``: the spectra and
     mask planes live only in VMEM scratch, the frequency smoothing is an
@@ -948,13 +1012,24 @@ def _merged_gate_from_blocks(
     common = dict(
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
         bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
-        core=_FT - 2 * halo, prec=prec,
+        core=_FT - 2 * halo, prec=prec, boundary=boundary,
     )
     bk = functools.partial(
         _apply_istft_kernel,
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, bin0_base=bin0_base,
         col_dc=col_dc, n_bins=n_bins, post=post, core=_FT - 2 * halo,
         prec=prec,
+    )
+    # trace-time 1/OLA-envelope plane, applied in kernel B's epilogue
+    full_len = win + (n_frames - 1) * hop
+    norm_np = _ola_norm_np(scfg, n_frames)
+    inv_np = np.ones(t_pad * hop, np.float32)
+    inv_np[:full_len] = 1.0 / np.where(
+        norm_np > 1e-10, norm_np, 1.0
+    ).astype(np.float32)
+    inv_np = inv_np.reshape(1, t_pad, hop)
+    inv_spec = pl.BlockSpec(
+        (1, t_pad, hop), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
     )
 
     blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -1002,15 +1077,17 @@ def _merged_gate_from_blocks(
 
         if band_np is None:
             def kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
-                       ci_ref, si_ref, out_ref, re_s, im_s, mask_s, tc, ts,
-                       y_s, bv, sem):
+                       ci_ref, si_ref, inv_ref, out_ref, re_s, im_s, mask_s,
+                       tc, ts, y_s, bv, sem):
                 am(b_ref, c_ref[0], s_ref[0], re_s, im_s, mask_s, tc, ts,
                    y_s, bv, sem, l_ref, lt_ref, df_ref, db_ref)
                 fs(mask_s, None)
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   inv=inv_ref)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, iirmat_spec,
-                        iirmat_spec, vec_spec, vec_spec, idft_spec, idft_spec]
+                        iirmat_spec, vec_spec, vec_spec, idft_spec, idft_spec,
+                        inv_spec]
             operands = (
                 blocks, jnp.asarray(c_np), jnp.asarray(s_np),
                 jnp.asarray(L), jnp.asarray(L.T),
@@ -1018,20 +1095,21 @@ def _merged_gate_from_blocks(
                     np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
                 jnp.asarray(np.ascontiguousarray(
                     np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
-                jnp.asarray(ci_np), jnp.asarray(si_np),
+                jnp.asarray(ci_np), jnp.asarray(si_np), jnp.asarray(inv_np),
             )
         else:
             def kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
-                       band_ref, ci_ref, si_ref, out_ref, re_s, im_s, mask_s,
-                       tc, ts, y_s, bv, sem):
+                       band_ref, ci_ref, si_ref, inv_ref, out_ref, re_s, im_s,
+                       mask_s, tc, ts, y_s, bv, sem):
                 am(b_ref, c_ref[0], s_ref[0], re_s, im_s, mask_s, tc, ts,
                    y_s, bv, sem, l_ref, lt_ref, df_ref, db_ref)
                 fs(mask_s, band_ref[0])
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   inv=inv_ref)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, iirmat_spec,
                         iirmat_spec, vec_spec, vec_spec, band_spec,
-                        idft_spec, idft_spec]
+                        idft_spec, idft_spec, inv_spec]
             operands = (
                 blocks, jnp.asarray(c_np), jnp.asarray(s_np),
                 jnp.asarray(L), jnp.asarray(L.T),
@@ -1040,6 +1118,7 @@ def _merged_gate_from_blocks(
                 jnp.asarray(np.ascontiguousarray(
                     np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
                 jnp.asarray(band_np), jnp.asarray(ci_np), jnp.asarray(si_np),
+                jnp.asarray(inv_np),
             )
     else:
         bins = np.concatenate(
@@ -1066,31 +1145,35 @@ def _merged_gate_from_blocks(
         )
 
         if band_np is None:
-            def kernel(b_ref, c_ref, s_ref, t_ref, ci_ref, si_ref, out_ref,
-                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
-                ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
-                    tc, ts, y_s, bv, sem)
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
-
-            in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
-                        idft_spec, idft_spec]
-            operands = (
-                blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
-                jnp.asarray(ci_np), jnp.asarray(si_np),
-            )
-        else:
-            def kernel(b_ref, c_ref, s_ref, t_ref, band_ref, ci_ref, si_ref,
+            def kernel(b_ref, c_ref, s_ref, t_ref, ci_ref, si_ref, inv_ref,
                        out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
                 ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
                     tc, ts, y_s, bv, sem)
-                fs(mask_s, band_ref[0])
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   inv=inv_ref)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
-                        band_spec, idft_spec, idft_spec]
+                        idft_spec, idft_spec, inv_spec]
+            operands = (
+                blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
+                jnp.asarray(ci_np), jnp.asarray(si_np), jnp.asarray(inv_np),
+            )
+        else:
+            def kernel(b_ref, c_ref, s_ref, t_ref, band_ref, ci_ref, si_ref,
+                       inv_ref, out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv,
+                       sem):
+                ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
+                    tc, ts, y_s, bv, sem)
+                fs(mask_s, band_ref[0])
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   inv=inv_ref)
+
+            in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
+                        band_spec, idft_spec, idft_spec, inv_spec]
             operands = (
                 blocks, jnp.asarray(c_np), jnp.asarray(s_np), thr_tiles,
                 jnp.asarray(band_np), jnp.asarray(ci_np), jnp.asarray(si_np),
+                jnp.asarray(inv_np),
             )
 
     out_blocks = pl.pallas_call(
@@ -1104,10 +1187,13 @@ def _merged_gate_from_blocks(
         interpret=interpret,
     )(*operands)
 
-    return _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice)
+    return _scipy_istft_tail(
+        out_blocks, scfg, n_frames, out_slice, norm_done=True
+    )
 
 
-def _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice=None):
+def _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice=None,
+                      norm_done=False):
     """Envelope division + scipy edge trim on the OLA hop-block plane, with
     the caller's final sample window folded into the same pass.
 
@@ -1127,6 +1213,8 @@ def _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice=None):
         lo = trim + off
         hi = min(lo + length, full - trim)
     y = out_blocks.reshape(B, t_pad * hop)[:, lo:hi]
+    if norm_done:  # kernel B's epilogue already divided by the envelope
+        return y
     norm = _ola_norm_np(scfg, n_frames)[lo:hi]
     norm = np.where(norm > 1e-10, norm, 1.0)
     return y / jnp.asarray(norm, jnp.float32)
@@ -1384,7 +1472,7 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
 
 def _fused_gate_from_blocks(
     blocks, cfg, n_samples, interpret, noise_thresh, out_slice=None,
-    fast=False,
+    fast=False, boundary=None,
 ):
     """Core of the fused scipy-convention gate: pre-built hop blocks
     (B, nb_pad, hop) -> gated signal (B, istft_len) — istft_len =
@@ -1401,7 +1489,8 @@ def _fused_gate_from_blocks(
     _ngf = cfg.smoothing[0] if cfg.smoothing else 0
     if _merged_supported(t_pad, hop, _merged_halo(_ngf)):
         return _merged_gate_from_blocks(
-            blocks, cfg, n_samples, interpret, noise_thresh, out_slice, fast
+            blocks, cfg, n_samples, interpret, noise_thresh, out_slice, fast,
+            boundary,
         )
     f_pad = n_tiles * _FT
     n_tb = t_pad // _TB
@@ -1470,6 +1559,7 @@ def _fused_gate_from_blocks(
             bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
             b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
             slope=cfg.sigmoid_slope_nonstationary, vt=vt, prec=prec,
+            boundary=boundary,
         )
 
         def am_kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
@@ -1512,6 +1602,7 @@ def _fused_gate_from_blocks(
             n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
             bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
             top_db=80.0, prop=cfg.prop_decrease, vt=vt, prec=prec,
+            boundary=boundary,
         )
 
         def as_kernel(b_ref, c_ref, s_ref, t_ref, re_ref, im_ref, mask_ref,
@@ -1656,9 +1747,9 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
     bpad = scfg.boundary_pad
     left = padding + bpad
     # k overlapping dynamic-slices of the padded signal. (A phase-aligned
-    # whole-row jnp.take gather was tried and is bit-identical but ~25 ms
-    # SLOWER per 960 s on v5e — XLA lowers the row gather poorly; the
-    # strided slices fuse into the stack and cost ~nothing extra.)
+    # whole-row jnp.take gather and a vmapped large-slice gather were both
+    # tried and are bit-identical but SLOWER on v5e — XLA lowers row
+    # gathers poorly; the strided slices fuse into the stack.)
     right = max(0, (k - 1) * chunk_size + need - n - left)
     ypad = jnp.pad(y2d.astype(jnp.float32), [(0, 0), (left, right)])
     parts = [
@@ -1666,17 +1757,27 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
         for i in range(k)
     ]
     ext_sig = jnp.stack(parts, axis=1)  # (ch, k, need)
-    # scipy's boundary extension zero-pads each CHUNK (stft boundary zeros
-    # are per-chunk semantics, not neighboring signal): positions outside
-    # [bpad, bpad + view) of the extended chunk must be zero
-    pos = jnp.arange(need, dtype=jnp.int32)
-    ext_sig = jnp.where((pos >= bpad) & (pos < bpad + view), ext_sig, 0.0)
-    blocks = ext_sig.reshape(ch * k, n_blocks, hop)
-    blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
+    if bpad % hop == 0:
+        # scipy's per-chunk boundary zeros (positions outside
+        # [bpad, bpad + view)) and the nb_pad row padding are applied by
+        # the kernel right after its DMA — XLA ships the raw rows, padded
+        # only to the 8-row DMA alignment Mosaic requires
+        boundary = (bpad, view)
+        n8 = -(-n_blocks // 8) * 8
+        blocks = jnp.pad(
+            ext_sig.reshape(ch * k, n_blocks, hop),
+            [(0, 0), (0, n8 - n_blocks), (0, 0)],
+        )
+    else:  # unreachable for supported geometries (r in {2, 4})
+        boundary = None
+        pos = jnp.arange(need, dtype=jnp.int32)
+        ext_sig = jnp.where((pos >= bpad) & (pos < bpad + view), ext_sig, 0.0)
+        blocks = ext_sig.reshape(ch * k, n_blocks, hop)
+        blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
 
     core = _fused_gate_from_blocks(
         blocks, cfg, view, interpret, noise_thresh,
-        out_slice=(padding, chunk_size), fast=fast,
+        out_slice=(padding, chunk_size), fast=fast, boundary=boundary,
     )
     if core.shape[-1] < chunk_size:  # tiny paddings: istft tail zero-fill
         core = jnp.pad(core, [(0, 0), (0, chunk_size - core.shape[-1])])
