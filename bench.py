@@ -83,7 +83,23 @@ def _measure_tpu(extras):
         jnp.asarray(rng.standard_normal((1, SR * DURATION_S)), jnp.float32), dev
     )
     fused = forward_fn("auto", jnp.float32)
-    rtf = DURATION_S / timeit(fused, y960)
+    t_head = timeit(fused, y960)
+    rtf = DURATION_S / t_head
+
+    # per-launch overhead of the execution environment (an empty jit call):
+    # ~31 ms through this remote tunnel, ~47% of the headline wall time.
+    # onchip_rtf_est subtracts it — the device-compute throughput a local
+    # (non-tunneled) deployment would see.
+    try:
+        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32), dev)
+        t_launch = timeit(jax.jit(lambda x: jnp.sum(x) + 1.0), tiny)
+        extras["launch_overhead_ms"] = round(t_launch * 1e3, 2)
+        if t_head > t_launch:
+            extras["onchip_rtf_est"] = round(
+                DURATION_S / (t_head - t_launch), 1
+            )
+    except Exception as e:
+        extras["launch_probe_error"] = repr(e)[:120]
 
     # --- on-device numerical-health assertion: fused vs staged ---------------
     from noisereduce_tpu.api import _run_nonstationary
