@@ -140,6 +140,25 @@ def _measure_tpu(extras):
     except Exception as e:  # never lose the headline to an extra
         extras["sustained_error"] = repr(e)[:120]
 
+    # --- realtime single-chunk latency ----------------------------------------
+    # one 100 ms chunk through the unchunked fused gate: the per-call wall
+    # latency a realtime/streaming caller sees (dominated here by the
+    # tunnel's launch overhead; subtract launch_overhead_ms for on-chip)
+    try:
+        from noisereduce_tpu.models.spectral_gate import gate_nonstationary
+
+        y_rt = jax.device_put(
+            jnp.asarray(rng.standard_normal(SR // 10), jnp.float32), dev
+        )
+
+        @jax.jit
+        def rt(y):
+            return jnp.sum(gate_nonstationary(y, cfg, method="matmul"))
+
+        extras["latency_ms_100ms_chunk"] = round(timeit(rt, y_rt) * 1e3, 2)
+    except Exception as e:
+        extras["latency_probe_error"] = repr(e)[:120]
+
     # --- bf16 fast mode --------------------------------------------------------
     # bf16 input routes the fused kernels to single-pass bf16 MXU dots
     # (Mosaic DEFAULT) instead of six true-f32 passes; planes/accumulators

@@ -925,8 +925,9 @@ def _merged_vmem_bytes(t_pad: int, hop: int) -> int:
 # The Mosaic scoped-VMEM default is 16 MiB, but v5e-class chips carry
 # 128 MiB of physical VMEM; the merged kernel raises the scoped limit via
 # CompilerParams and gates itself on this budget instead. Overridable per
-# deployment (the bench geometry's ~22 MiB request is chip-proven; larger
-# requests up to this ceiling are extrapolation).
+# deployment (chip-proven on v5e up to a ~40 MiB estimate / 56 MiB scoped
+# limit — 30 s unchunked @48 kHz; larger requests up to this ceiling are
+# extrapolation).
 _MERGED_VMEM_LIMIT = int(
     float(os.environ.get("NRTPU_MERGED_VMEM_BYTES", 96 * 1024 * 1024))
 )
