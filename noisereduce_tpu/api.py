@@ -36,8 +36,7 @@ from noisereduce_tpu.models.spectral_gate import (
 )
 from noisereduce_tpu.models.tpu_gate import TPUGate
 from noisereduce_tpu.parallel.chunking import (
-    assemble_chunks,
-    extract_chunks,
+    n_chunks_for,
     process_chunked,
 )
 
@@ -69,20 +68,27 @@ def _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
+    static_argnames=(
+        "cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
+        "use_pallas",
+    ),
 )
 def _run_stationary(
     y2d, y_noise_mono, cfg, chunk_size, padding, method, mesh=None,
-    axis_name="chunks", mpc=0,
+    axis_name="chunks", mpc=0, use_pallas="auto",
 ):
-    thresh = stationary_noise_threshold(y_noise_mono, cfg, method=method)
-    if _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, "auto"):
+    thresh = stationary_noise_threshold(
+        y_noise_mono, cfg, method=method, use_pallas=use_pallas
+    )
+    if _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
         from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
 
         return fused_gate_chunked(
             y2d, cfg, chunk_size, padding, noise_thresh=thresh
         )
-    fn = lambda c, t: gate_stationary(c, t, cfg, method=method)
+    fn = lambda c, t: gate_stationary(
+        c, t, cfg, method=method, use_pallas=use_pallas
+    )
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
         extra=(thresh,), max_parallel_chunks=mpc,
@@ -113,17 +119,20 @@ def _run_nonstationary(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gate", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc"),
+    static_argnames=(
+        "gate", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
+        "use_pallas",
+    ),
 )
 def _run_torch_gate(
     y2d, y_noise, gate, chunk_size, padding, method, mesh=None,
-    axis_name="chunks", mpc=0,
+    axis_name="chunks", mpc=0, use_pallas="auto",
 ):
     def one(chunk, xn):
         # TPUGate returns torch's natural (shorter) istft length; the
         # reference writes it into a zeros buffer of the chunk's shape
         # (base.py:144-150 slicing semantics) — zero-fill the tail.
-        out = gate(chunk, xn, method=method)
+        out = gate(chunk, xn, method=method, use_pallas=use_pallas)
         deficit = chunk.shape[-1] - out.shape[-1]
         if deficit:
             out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
@@ -132,7 +141,9 @@ def _run_torch_gate(
     def call(chunk, *extra):
         xn = extra[0] if extra else None
         if chunk.ndim == 3:  # (channels, n_chunks, view)
-            return gate.batched_chunks(chunk, xn, method=method)
+            return gate.batched_chunks(
+                chunk, xn, method=method, use_pallas=use_pallas
+            )
         return one(chunk, xn)
 
     extra = () if y_noise is None else (y_noise,)
@@ -145,11 +156,6 @@ def _run_torch_gate(
 # ---------------------------------------------------------------------------
 # host-driven chunk loop with a live progress bar (use_tqdm=True, chunked)
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("chunk_size", "padding"))
-def _extract_chunks_jit(y2d, chunk_size, padding):
-    return extract_chunks(y2d, chunk_size, padding)
-
-
 @functools.partial(
     jax.jit, static_argnames=("cfg", "method", "use_pallas")
 )
@@ -157,19 +163,43 @@ def _group_nonstationary(chunks, cfg, method, use_pallas):
     return gate_nonstationary(chunks, cfg, method=method, use_pallas=use_pallas)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "method"))
-def _group_stationary(chunks, thresh, cfg, method):
-    return gate_stationary(chunks, thresh, cfg, method=method)
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "use_pallas"))
+def _group_stationary(chunks, thresh, cfg, method, use_pallas="auto"):
+    return gate_stationary(
+        chunks, thresh, cfg, method=method, use_pallas=use_pallas
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "method"))
-def _noise_threshold_jit(y_noise_mono, cfg, method):
-    return stationary_noise_threshold(y_noise_mono, cfg, method=method)
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "use_pallas"))
+def _noise_threshold_jit(y_noise_mono, cfg, method, use_pallas="auto"):
+    return stationary_noise_threshold(
+        y_noise_mono, cfg, method=method, use_pallas=use_pallas
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("gate", "method"))
-def _group_torch(chunks, xn, gate, method):
-    return gate.batched_chunks(chunks, xn, method=method)
+@functools.partial(jax.jit, static_argnames=("gate", "method", "use_pallas"))
+def _group_torch(chunks, xn, gate, method, use_pallas="auto"):
+    return gate.batched_chunks(
+        chunks, xn, method=method, use_pallas=use_pallas
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "padding", "g", "n_chunks")
+)
+def _extract_group_jit(ypad, start, chunk_size, padding, g, n_chunks):
+    """Halo'd views for chunks [start, start+g) from the pre-padded signal
+    — one compiled graph reused across all groups (``start`` is traced)."""
+    view = chunk_size + 2 * padding
+
+    def one(i):
+        # clamp so the (shape-static) tail group reads valid memory; the
+        # caller discards the rows past n_chunks
+        off = jnp.minimum(start + i, n_chunks - 1) * chunk_size
+        return jax.lax.dynamic_slice_in_dim(ypad, off, view, axis=-1)
+
+    chunks = jax.vmap(one)(jnp.arange(g))  # (g, ..., view)
+    return jnp.moveaxis(chunks, 0, -2)
 
 
 def _run_chunked_with_progress(
@@ -182,27 +212,31 @@ def _run_chunked_with_progress(
     ``max_parallel_chunks`` chunks (1 if unset — the reference's sequential
     n_jobs=1 granularity). Numerics match the batched path (same per-chunk
     graph; chunks are independent).
+
+    Memory: only the padded signal plus ONE group's views live on device at
+    a time (the bounded-HBM property max_parallel_chunks advertises), and
+    the filtered signal is assembled host-side — no full-signal device
+    round-trip.
     """
     from tqdm.auto import tqdm
 
     n = y2d.shape[-1]
-    chunks = _extract_chunks_jit(y2d, chunk_size, padding)
-    n_chunks = chunks.shape[-2]
+    n_chunks = n_chunks_for(n, chunk_size)
+    total = n_chunks * chunk_size
+    ypad = jnp.pad(
+        y2d, [(0, 0)] * (y2d.ndim - 1) + [(padding, total - n + padding)]
+    )
     g = max_parallel_chunks if max_parallel_chunks else 1
     outs = []
     starts = range(0, n_chunks, g)
     for s in tqdm(starts, total=len(starts), desc="chunks", unit="group"):
-        block = jax.lax.slice_in_dim(
-            chunks, s, min(s + g, n_chunks), axis=-2
-        )
-        k = block.shape[-2]
-        if k < g:  # pad the tail group so every launch shares one shape
-            block = jnp.pad(
-                block, [(0, 0)] * (block.ndim - 2) + [(0, g - k), (0, 0)]
-            )
-        outs.append(np.asarray(group_fn(block))[..., :k, :])
-    filtered = jnp.asarray(np.concatenate(outs, axis=-2))
-    return assemble_chunks(filtered, chunk_size, padding, n)
+        block = _extract_group_jit(ypad, s, chunk_size, padding, g, n_chunks)
+        k = min(g, n_chunks - s)
+        core = np.asarray(group_fn(block))[
+            ..., :k, padding : padding + chunk_size
+        ]
+        outs.append(core.reshape(core.shape[:-2] + (k * chunk_size,)))
+    return np.concatenate(outs, axis=-1)[..., :n]
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +422,7 @@ def reduce_noise(
             axis_name,
             max_parallel_chunks,
             progress,
+            use_pallas,
         )
     elif stationary:
         cfg = GateConfig(
@@ -415,15 +450,17 @@ def reduce_noise(
         if clip_noise_stationary:
             yn_mono = yn_mono[:chunk_size]
         if progress:
-            thresh = _noise_threshold_jit(yn_mono, cfg, method)
+            thresh = _noise_threshold_jit(yn_mono, cfg, method, use_pallas)
             out = _run_chunked_with_progress(
-                lambda blk: _group_stationary(blk, thresh, cfg, method),
+                lambda blk: _group_stationary(
+                    blk, thresh, cfg, method, use_pallas
+                ),
                 y2d, chunk_size, padding, max_parallel_chunks,
             )
         else:
             out = _run_stationary(
                 y2d, yn_mono, cfg, chunk_size, padding, method, mesh,
-                axis_name, max_parallel_chunks,
+                axis_name, max_parallel_chunks, use_pallas,
             )
     else:
         cfg = GateConfig(
@@ -479,6 +516,7 @@ def _reduce_noise_torch_path(
     axis_name="chunks",
     max_parallel_chunks=0,
     progress=False,
+    use_pallas="auto",
 ):
     """StreamedTorchGate-equivalent dispatch (streamed_torch_gate.py:12-87):
     parameter mapping temp_coeff = 1/slope, n_movemean = time_constant·sr/hop;
@@ -512,10 +550,10 @@ def _reduce_noise_torch_path(
         yn = jnp.asarray(yn, dtype=cdtype)
     if progress:
         return _run_chunked_with_progress(
-            lambda blk: _group_torch(blk, yn, gate, method),
+            lambda blk: _group_torch(blk, yn, gate, method, use_pallas),
             y2d, chunk_size, padding, max_parallel_chunks,
         )
     return _run_torch_gate(
         y2d, yn, gate, chunk_size, padding, method, mesh, axis_name,
-        max_parallel_chunks,
+        max_parallel_chunks, use_pallas,
     )

@@ -159,7 +159,19 @@ class TPUGate:
                 use_pallas == "auto" and _tpu_available()
             )
             xn_len = None if xn is None else xn.shape[-1]
-            if wanted and fused_tpugate_supported(self, x.shape[-1], xn_len):
+            # torch broadcast semantics: the noise-clip batch must be 1 or
+            # match the signal batch — otherwise fall through to the jnp
+            # path, which raises the reference's broadcast error (the fused
+            # threshold BlockSpec would silently clamp to the last clip)
+            xn_b = None if xn is None else (
+                xn.shape[0] if xn.ndim == 2 else 1
+            )
+            compatible = xn_b is None or xn_b in (1, x.shape[0])
+            if (
+                wanted
+                and compatible
+                and fused_tpugate_supported(self, x.shape[-1], xn_len)
+            ):
                 return fused_tpugate(x, xn, self)
         return self._call_jnp(x, xn, method)
 

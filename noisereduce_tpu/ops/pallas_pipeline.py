@@ -1122,17 +1122,7 @@ def _merged_gate_from_blocks(
                 jnp.asarray(inv_np),
             )
     else:
-        bins = np.concatenate(
-            [_tile_bins(j, halo) for j in range(n_tiles)]
-        )
-        valid = (bins >= 0) & (bins < n_bins)
-        idx = np.clip(bins, 0, n_bins - 1)
-        thr_flat = jnp.where(
-            jnp.asarray(valid),
-            noise_thresh.astype(jnp.float32)[jnp.asarray(idx)],
-            jnp.float32(1e30),
-        )
-        thr_tiles = jnp.tile(thr_flat.reshape(n_tiles, 1, _FT), (1, 8, 1))
+        thr_tiles = _thr_lane_layout(noise_thresh, n_bins, n_tiles, halo)
         thr_spec = pl.BlockSpec(
             (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1235,6 +1225,38 @@ def _geometry(scfg: StftConfig, n_samples: int, halo: int = _HALO):
     nb_pad = t_pad + ext
     n_tiles = -(-scfg.n_bins // (_FT - 2 * halo))
     return win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles
+
+
+def _signal_to_blocks(x2, scfg, n_blocks, nb_pad, hop):
+    """scipy boundary extension + hop-block reshape: (B, n) signal ->
+    (B, nb_pad, hop) zero-extended hop blocks (win//2 zeros each side,
+    truncated/padded to n_blocks*hop — ops/stft.frame_signal semantics)."""
+    pad = scfg.boundary_pad
+    need = n_blocks * hop
+    right = max(pad, need - x2.shape[-1] - pad)
+    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
+    return jnp.pad(
+        x2.reshape(x2.shape[0], n_blocks, hop),
+        [(0, 0), (0, nb_pad - n_blocks), (0, 0)],
+    )
+
+
+def _thr_lane_layout(noise_thresh, n_bins, n_tiles, halo=_HALO):
+    """Gather per-bin thresholds (..., n_bins) into the overlapped tile
+    lane layout (..., n_tiles, 8, _FT), row-replicated to a full sublane
+    tile; lanes holding out-of-range bins get 1e30 (never above
+    threshold)."""
+    bins = np.concatenate([_tile_bins(j, halo) for j in range(n_tiles)])
+    valid = (bins >= 0) & (bins < n_bins)
+    idx = np.clip(bins, 0, n_bins - 1)
+    thr_flat = jnp.where(
+        jnp.asarray(valid),
+        noise_thresh.astype(jnp.float32)[..., jnp.asarray(idx)],
+        jnp.float32(1e30),
+    )
+    shape = thr_flat.shape[:-1] + (n_tiles, 1, _FT)
+    reps = (1,) * (thr_flat.ndim - 1) + (1, 8, 1)
+    return jnp.tile(thr_flat.reshape(shape), reps)
 
 
 def fused_gate_supported(cfg: GateConfig, n_samples: int, n_grad_time) -> bool:
@@ -1383,13 +1405,7 @@ def _fused_stft_planes(x, scfg, interpret):
     n_bins = scfg.n_bins
 
     x2 = x.reshape(B, n_samples).astype(jnp.float32)
-    pad = scfg.boundary_pad
-    need = n_blocks * hop
-    right = max(pad, need - n_samples - pad)
-    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
-    blocks = jnp.pad(
-        x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
-    )
+    blocks = _signal_to_blocks(x2, scfg, n_blocks, nb_pad, hop)
 
     c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
     col_dc = _HALO - 1
@@ -1446,18 +1462,10 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     B = int(np.prod(batch_shape)) if batch_shape else 1
 
     x = chunk.reshape(B, n_samples).astype(jnp.float32)
-    # boundary extension + hop-block reshape (scipy stft: win//2 zeros each
-    # side, signal truncated/padded to n_blocks*hop — ops/stft.frame_signal)
     win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
         scfg, n_samples
     )
-    pad = scfg.boundary_pad
-    need = n_blocks * hop
-    right = max(pad, need - n_samples - pad)
-    x = jnp.pad(x, [(0, 0), (pad, right)])
-    x = x[:, :need]
-    blocks = x.reshape(B, n_blocks, hop)
-    blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
+    blocks = _signal_to_blocks(x, scfg, n_blocks, nb_pad, hop)
 
     y = _fused_gate_from_blocks(
         blocks, cfg, n_samples, interpret, noise_thresh,
@@ -1586,15 +1594,7 @@ def _fused_gate_from_blocks(
     else:
         # stationary: per-bin dB threshold, gathered into the overlapped
         # tile layout, row-replicated to a full (8, _FT) tile per tile
-        bins = np.concatenate([_tile_bins(j) for j in range(n_tiles)])
-        valid = (bins >= 0) & (bins < n_bins)
-        idx = np.clip(bins, 0, n_bins - 1)
-        thr_flat = jnp.where(
-            jnp.asarray(valid),
-            noise_thresh.astype(jnp.float32)[jnp.asarray(idx)],
-            jnp.float32(1e30),
-        )
-        thr_tiles = jnp.tile(thr_flat.reshape(n_tiles, 1, _FT), (1, 8, 1))
+        thr_tiles = _thr_lane_layout(noise_thresh, n_bins, n_tiles)
         thr_spec = pl.BlockSpec(
             (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1821,11 +1821,27 @@ def fused_tpugate_supported(gate, n_samples: int, xn_samples=None) -> bool:
         1 <= gate.n_movemean_nonstationary <= 4 * _TB
     ):
         return False  # moving-average window: <= 2 halo blocks per side
+    if smoothing is not None:
+        from noisereduce_tpu.ops.dsp import _torchgate_kernel_svd_np
+
+        rows_np, _ = _torchgate_kernel_svd_np(*smoothing)
+        freq_taps = tuple(np.asarray(rows_np[0], np.float64).tolist())
+    else:
+        freq_taps = None
     lengths = [n_samples] + ([xn_samples] if xn_samples else [])
     for ns in lengths:
         nf = scfg.n_frames(ns)
         tp = -(-nf // _TB) * _TB
         if nf > max_frames_for_vmem() or tp - nf < r - 1:
+            return False
+        # some kernel variant must actually fit VMEM: the merged cell (with
+        # its smoothing-widened halo) or the split pipeline — otherwise
+        # _fused_torch_impl would die at Mosaic compile instead of taking
+        # the jnp fallback
+        if not (
+            _merged_supported(tp, hop, _torch_merged_halo(freq_taps))
+            or _split_vmem_ok(tp, hop)
+        ):
             return False
     return True
 
@@ -1930,13 +1946,7 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
     n_bins = scfg.n_bins
 
     x2 = x.reshape(B, n_samples).astype(jnp.float32)
-    pad = scfg.boundary_pad
-    need = n_blocks * hop
-    right = max(pad, need - n_samples - pad)
-    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
-    blocks = jnp.pad(
-        x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
-    )
+    blocks = _signal_to_blocks(x2, scfg, n_blocks, nb_pad, hop)
 
     c_np, s_np = _block_dft_consts_np(scfg, n_tiles, halo)
     ci_np, si_np = _block_idft_consts_np(scfg, n_tiles, halo)
@@ -2040,19 +2050,7 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
             thr = _torch_threshold_stats(
                 xn2.astype(jnp.float32), gate, interpret
             )  # (bn, n_bins)
-            bins = np.concatenate(
-                [_tile_bins(j, halo) for j in range(n_tiles)]
-            )
-            valid = (bins >= 0) & (bins < n_bins)
-            idx = np.clip(bins, 0, n_bins - 1)
-            thr_flat = jnp.where(
-                jnp.asarray(valid)[None],
-                thr[:, jnp.asarray(idx)],
-                jnp.float32(1e30),
-            )
-            thr_tiles = jnp.tile(
-                thr_flat.reshape(-1, n_tiles, 1, _FT), (1, 1, 8, 1)
-            )
+            thr_tiles = _thr_lane_layout(thr, n_bins, n_tiles, halo)
         thr_spec = pl.BlockSpec(
             (1, 1, 8, _FT),
             lambda i, j: (i // reps, j, 0, 0),
@@ -2146,13 +2144,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
         return _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt)
 
     x2 = x.reshape(B, n_samples).astype(jnp.float32)
-    pad = scfg.boundary_pad
-    need = n_blocks * hop
-    right = max(pad, need - n_samples - pad)
-    x2 = jnp.pad(x2, [(0, 0), (pad, right)])[:, :need]
-    blocks = jnp.pad(
-        x2.reshape(B, n_blocks, hop), [(0, 0), (0, nb_pad - n_blocks), (0, 0)]
-    )
+    blocks = _signal_to_blocks(x2, scfg, n_blocks, nb_pad, hop)
 
     c_np, s_np = _block_dft_consts_np(scfg, n_tiles)
     ci_np, si_np = _block_idft_consts_np(scfg, n_tiles)
@@ -2225,17 +2217,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
             thr = _torch_threshold_stats(
                 xn2.astype(jnp.float32), gate, interpret
             )  # (bn, n_bins)
-            bins = np.concatenate([_tile_bins(j) for j in range(n_tiles)])
-            valid = (bins >= 0) & (bins < n_bins)
-            idx = np.clip(bins, 0, n_bins - 1)
-            thr_flat = jnp.where(
-                jnp.asarray(valid)[None],
-                thr[:, jnp.asarray(idx)],
-                jnp.float32(1e30),
-            )  # (bn, f_pad)
-            thr_tiles = jnp.tile(
-                thr_flat.reshape(-1, n_tiles, 1, _FT), (1, 1, 8, 1)
-            )
+            thr_tiles = _thr_lane_layout(thr, n_bins, n_tiles)
         thr_spec = pl.BlockSpec(
             (1, 1, 8, _FT),
             lambda i, j: (i // reps, j, 0, 0),

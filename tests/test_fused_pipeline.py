@@ -454,3 +454,52 @@ def test_torch_merged_matches_split(name, nonstat, kw, use_xn, monkeypatch):
     assert merged.shape == split.shape
     dev = np.abs(merged - split).max()
     assert dev <= 5e-6 * np.abs(split).max(), f"{name}"
+
+
+# ---------------------------------------------------------------------------
+# Dispatch guards (round-2 review findings)
+# ---------------------------------------------------------------------------
+def test_explicit_cpu_device_skips_pallas_everywhere(monkeypatch):
+    """device='cpu' on a TPU host must take the jnp path for ALL engines.
+
+    _tpu_available is forced True so that any dispatch site that ignores
+    the device-derived use_pallas=False would enter the Pallas path and
+    fail on the CPU backend (stationary and torch paths did exactly that
+    before use_pallas was threaded through _run_stationary /
+    _run_torch_gate / the group helpers)."""
+    import noisereduce_tpu.models.spectral_gate as sg
+    import noisereduce_tpu as nr
+
+    monkeypatch.setattr(sg, "_tpu_available", lambda: True)
+    y = np.asarray(RNG.standard_normal(30000), np.float32)
+    nr.reduce_noise(y=y, sr=44100, stationary=True, device="cpu",
+                    chunk_size=12000, padding=2000)
+    nr.reduce_noise(y=y, sr=44100, use_torch=True, device="cpu")
+    nr.reduce_noise(y=y, sr=44100, use_torch=True, stationary=True,
+                    device="cpu")
+
+
+def test_tpugate_incompatible_xn_batch_raises(monkeypatch):
+    """A noise-clip batch that is neither 1 nor the signal batch must raise
+    the reference's broadcast error — the fused path's threshold BlockSpec
+    would silently clamp row indexing past the clip batch."""
+    import noisereduce_tpu.models.spectral_gate as sg
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+
+    monkeypatch.setattr(sg, "_tpu_available", lambda: True)
+    gate = TPUGate(sr=16000, nonstationary=False)
+    x = jnp.asarray(RNG.standard_normal((3, 16000)), jnp.float32)
+    xn = jnp.asarray(RNG.standard_normal((2, 8000)), jnp.float32)
+    with pytest.raises(Exception, match="broadcast"):
+        gate(x, xn)
+
+
+def test_tpugate_vmem_overflow_geometry_not_supported():
+    """A smoothing kernel too wide for the merged halo on a signal too big
+    for the split pipeline's VMEM must report unsupported (and so fall back
+    to jnp) instead of dying at Mosaic compile."""
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops.pallas_pipeline import fused_tpugate_supported
+
+    gate = TPUGate(sr=48000, nonstationary=True, freq_mask_smooth_hz=6000)
+    assert not fused_tpugate_supported(gate, 1_280_000)
