@@ -37,6 +37,7 @@ from noisereduce_tpu.models.spectral_gate import (
 from noisereduce_tpu.models.tpu_gate import TPUGate
 from noisereduce_tpu.parallel.chunking import (
     n_chunks_for,
+    pad_chunk_signal,
     process_chunked,
 )
 
@@ -222,10 +223,7 @@ def _run_chunked_with_progress(
 
     n = y2d.shape[-1]
     n_chunks = n_chunks_for(n, chunk_size)
-    total = n_chunks * chunk_size
-    ypad = jnp.pad(
-        y2d, [(0, 0)] * (y2d.ndim - 1) + [(padding, total - n + padding)]
-    )
+    ypad = pad_chunk_signal(y2d, chunk_size, padding)
     g = max_parallel_chunks if max_parallel_chunks else 1
     outs = []
     starts = range(0, n_chunks, g)

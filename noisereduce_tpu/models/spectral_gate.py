@@ -126,12 +126,12 @@ def stationary_noise_threshold(
     """
     if use_pallas is not False and y_noise.dtype in (jnp.float32, jnp.bfloat16):
         from noisereduce_tpu.ops.pallas_pipeline import (
-            fused_gate_supported,
+            fused_threshold_supported,
             fused_stationary_threshold,
         )
 
         wanted = use_pallas is True or (use_pallas == "auto" and _tpu_available())
-        if wanted and fused_gate_supported(cfg, y_noise.shape[-1], 0):
+        if wanted and fused_threshold_supported(cfg, y_noise.shape[-1]):
             return fused_stationary_threshold(y_noise.astype(jnp.float32), cfg)
     re, im = stft(y_noise, cfg.stft, method=method, time_major=True, split=True)
     ddt = _mask_dtype(re.dtype)

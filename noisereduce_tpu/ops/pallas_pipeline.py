@@ -946,6 +946,20 @@ def _merged_supported(t_pad: int, hop: int, halo: int) -> bool:
     return _merged_vmem_bytes(t_pad, hop) * 1.4 <= _MERGED_VMEM_LIMIT
 
 
+def _spectra_vmem_bytes(t_pad: int, hop: int) -> int:
+    """Working set of the spectra-only kernel (_fused_stft_planes): two
+    double-buffered (t_pad, _FT) output planes, the hop-block scratch, the
+    FB tail scratch, and double-buffered per-tile DFT constants."""
+    planes = 2 * 2 * t_pad * _FT * 4
+    blocks = (t_pad + 8) * hop * 4
+    consts = 2 * (2 * hop * _FT * 4) + 2 * 8 * _FT * 4
+    return planes + blocks + consts
+
+
+def _spectra_supported(t_pad: int, hop: int) -> bool:
+    return _spectra_vmem_bytes(t_pad, hop) * 1.4 <= _MERGED_VMEM_LIMIT
+
+
 def _split_vmem_ok(t_pad: int, hop: int) -> bool:
     """VMEM fit of the two-kernel pipeline: kernel AM streams three
     double-buffered (t_pad, _FT) output planes plus the state plane and the
@@ -1259,6 +1273,23 @@ def _thr_lane_layout(noise_thresh, n_bins, n_tiles, halo=_HALO):
     return jnp.tile(thr_flat.reshape(shape), reps)
 
 
+def fused_threshold_supported(cfg: GateConfig, n_samples: int) -> bool:
+    """Static eligibility of the fused spectra kernel for the stationary
+    noise-threshold statistics (fused_stationary_threshold): the gate's
+    structural constraints plus the spectra kernel's OWN VMEM footprint —
+    the gate predicate alone admits clip lengths whose threshold pass dies
+    at Mosaic compile (round-2 review finding)."""
+    scfg = cfg.stft
+    if scfg.convention != Convention.SCIPY:
+        return False
+    win, hop = scfg.frame_length, scfg.hop_length
+    if win != scfg.n_fft or win % hop or hop % 128 or win // hop not in (2, 4):
+        return False
+    n_frames = scfg.n_frames(n_samples)
+    t_pad = -(-n_frames // _TB) * _TB
+    return _spectra_supported(t_pad, hop)
+
+
 def fused_gate_supported(cfg: GateConfig, n_samples: int, n_grad_time) -> bool:
     """Static eligibility of the fully fused kernels for this geometry."""
     scfg = cfg.stft
@@ -1447,6 +1478,12 @@ def _fused_stft_planes(x, scfg, interpret):
             pltpu.VMEM((nb_pad, hop), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                _MERGED_VMEM_LIMIT,
+                max(16 * 1024 * 1024, int(_spectra_vmem_bytes(t_pad, hop) * 1.4)),
+            )
+        ),
         interpret=interpret,
     )(blocks, jnp.asarray(c_np), jnp.asarray(s_np))
     re_w = re_w.reshape(batch_shape + (t_pad, f_pad))
@@ -1829,19 +1866,22 @@ def fused_tpugate_supported(gate, n_samples: int, xn_samples=None) -> bool:
     else:
         freq_taps = None
     lengths = [n_samples] + ([xn_samples] if xn_samples else [])
-    for ns in lengths:
+    for pos, ns in enumerate(lengths):
         nf = scfg.n_frames(ns)
         tp = -(-nf // _TB) * _TB
         if nf > max_frames_for_vmem() or tp - nf < r - 1:
             return False
-        # some kernel variant must actually fit VMEM: the merged cell (with
-        # its smoothing-widened halo) or the split pipeline — otherwise
-        # _fused_torch_impl would die at Mosaic compile instead of taking
-        # the jnp fallback
-        if not (
+        # some kernel variant must actually fit VMEM, else _fused_torch_impl
+        # dies at Mosaic compile instead of taking the jnp fallback. The
+        # signal runs the merged/split gate; the noise clip runs only the
+        # spectra kernel (_torch_threshold_stats), which has its own
+        # (smaller) footprint and raised scoped limit.
+        if pos == 0 and not (
             _merged_supported(tp, hop, _torch_merged_halo(freq_taps))
             or _split_vmem_ok(tp, hop)
         ):
+            return False
+        if pos == 1 and not _spectra_supported(tp, hop):
             return False
     return True
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "n_chunks_for",
+    "pad_chunk_signal",
     "extract_chunks",
     "assemble_chunks",
     "process_chunked",
@@ -43,6 +44,19 @@ def n_chunks_for(n_samples: int, chunk_size: int) -> int:
     return (n_samples - 1) // chunk_size + 1
 
 
+def pad_chunk_signal(
+    y: jax.Array, chunk_size: int, padding: int
+) -> jax.Array:
+    """Zero-extend (..., n) so that chunk i's halo'd view is the plain
+    slice [i*cs, i*cs + cs + 2*padding) of the result (the shared geometry
+    of extract_chunks and the host-driven progress loop)."""
+    n = y.shape[-1]
+    total = n_chunks_for(n, chunk_size) * chunk_size
+    return jnp.pad(
+        y, [(0, 0)] * (y.ndim - 1) + [(padding, total - n + padding)]
+    )
+
+
 def extract_chunks(
     y: jax.Array, chunk_size: int, padding: int
 ) -> jax.Array:
@@ -53,10 +67,7 @@ def extract_chunks(
     """
     n = y.shape[-1]
     n_chunks = n_chunks_for(n, chunk_size)
-    total = n_chunks * chunk_size
-    ypad = jnp.pad(
-        y, [(0, 0)] * (y.ndim - 1) + [(padding, total - n + padding)]
-    )
+    ypad = pad_chunk_signal(y, chunk_size, padding)
     view = chunk_size + 2 * padding
 
     def one(i):

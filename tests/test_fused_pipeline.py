@@ -503,3 +503,24 @@ def test_tpugate_vmem_overflow_geometry_not_supported():
 
     gate = TPUGate(sr=48000, nonstationary=True, freq_mask_smooth_hz=6000)
     assert not fused_tpugate_supported(gate, 1_280_000)
+
+
+def test_threshold_spectra_vmem_guard():
+    """The stationary noise-threshold path runs the spectra-only kernel,
+    whose VMEM footprint the GATE predicates don't model — clip lengths
+    beyond the spectra budget must report unsupported (jnp fallback), and
+    moderate clips beyond the old 16 MiB default must report supported
+    (the kernel raises its scoped limit like the merged gate)."""
+    from noisereduce_tpu.ops.pallas_pipeline import fused_threshold_supported
+
+    cfg = GateConfig(sr=48000, stationary=True)
+    assert fused_threshold_supported(cfg, 48000 * 2)
+    assert fused_threshold_supported(cfg, 1_200_000)  # OOM'd pre-fix
+    assert not fused_threshold_supported(cfg, 48000 * 3600)
+
+    from noisereduce_tpu.models.tpu_gate import TPUGate
+    from noisereduce_tpu.ops.pallas_pipeline import fused_tpugate_supported
+
+    gate = TPUGate(sr=48000, nonstationary=False)
+    assert fused_tpugate_supported(gate, 60000, 1_200_000)
+    assert not fused_tpugate_supported(gate, 60000, 48000 * 3600)
