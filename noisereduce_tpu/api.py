@@ -361,6 +361,19 @@ def reduce_noise(
             f"realized {y2d.dtype.name} (enable jax_enable_x64 for float64)",
             stacklevel=2,
         )
+    if stationary and y2d.dtype == jnp.bfloat16:
+        # The stationary mask is a binary dB-threshold compare; bf16 spectra
+        # flip threshold-adjacent bins, bounding accuracy at ~1.5e-1 of peak
+        # (~-25 dB) vs the f32 envelope of ~5e-3 for the soft non-stationary
+        # mask (tests/test_bfloat16_mode.py, BASELINE.md). Don't let that
+        # happen silently.
+        warnings.warn(
+            "compute_dtype=bfloat16 with stationary=True: the binary "
+            "threshold mask amplifies bf16 rounding (pinned envelope ~1.5e-1 "
+            "of peak vs f32). Use float32, or stationary=False for bf16 "
+            "fast mode.",
+            stacklevel=2,
+        )
 
     use_pallas = "auto"
     if device is not None:

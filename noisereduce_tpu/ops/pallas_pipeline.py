@@ -924,12 +924,16 @@ def _merged_vmem_bytes(t_pad: int, hop: int) -> int:
 
 # The Mosaic scoped-VMEM default is 16 MiB, but v5e-class chips carry
 # 128 MiB of physical VMEM; the merged kernel raises the scoped limit via
-# CompilerParams and gates itself on this budget instead. Overridable per
-# deployment (chip-proven on v5e up to a ~40 MiB estimate / 56 MiB scoped
-# limit — 30 s unchunked @48 kHz; larger requests up to this ceiling are
-# extrapolation).
+# CompilerParams and gates itself on this budget instead. The default
+# ceiling is the CHIP-PROVEN envelope (56 MiB scoped limit / ~40 MiB
+# estimate on v5e — 30 s unchunked @48 kHz). NRTPU_MERGED_VMEM_BYTES can
+# raise it per deployment, but note: eligibility here commits dispatch
+# BEFORE compile, the 1.4x estimate margin is only validated inside the
+# proven envelope, and an admitted-but-unproven geometry fails at Mosaic
+# compile time with no jnp fallback — raising the ceiling is opt-in
+# extrapolation.
 _MERGED_VMEM_LIMIT = int(
-    float(os.environ.get("NRTPU_MERGED_VMEM_BYTES", 96 * 1024 * 1024))
+    float(os.environ.get("NRTPU_MERGED_VMEM_BYTES", 56 * 1024 * 1024))
 )
 
 
@@ -939,10 +943,20 @@ def _merged_compiler_params(t_pad: int, hop: int):
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
-def _merged_supported(t_pad: int, hop: int, halo: int) -> bool:
+def _merged_supported(t_pad: int, hop: int, halo: int, n_bins: int) -> bool:
     if halo > (_FT - 16) // 2:  # keep >= 16 owned bins per tile
         return False
-    # 1.4x headroom for Mosaic stack/alignment overhead (measured ~1.1x)
+    if halo > _HALO and n_bins % (_FT - 2 * halo) == 1:
+        # With frequency smoothing on and the last tile owning a single
+        # core bin, the Nyquist-extension lane sits at halo+1 and kernel
+        # B's Hermitian fix would source the smoothed mask at lane halo-1,
+        # whose in-tile banded support reaches lane 1 — one tap past the
+        # circular Hann stencil's validity. The split path smooths over
+        # the full plane and has no such lane; route there.
+        return False
+    # 1.4x headroom for Mosaic stack/alignment overhead (measured ~1.1x
+    # at the chip-proven sizes; treated as validated only within the
+    # proven envelope — see _MERGED_VMEM_LIMIT)
     return _merged_vmem_bytes(t_pad, hop) * 1.4 <= _MERGED_VMEM_LIMIT
 
 
@@ -1309,7 +1323,7 @@ def fused_gate_supported(cfg: GateConfig, n_samples: int, n_grad_time) -> bool:
     t_pad = -(-n_frames // _TB) * _TB
     ngf = cfg.smoothing[0] if cfg.smoothing else 0
     if not (
-        _merged_supported(t_pad, hop, _merged_halo(ngf))
+        _merged_supported(t_pad, hop, _merged_halo(ngf), scfg.n_bins)
         or _split_vmem_ok(t_pad, hop)
     ):
         return False
@@ -1533,7 +1547,7 @@ def _fused_gate_from_blocks(
         scfg, n_samples
     )
     _ngf = cfg.smoothing[0] if cfg.smoothing else 0
-    if _merged_supported(t_pad, hop, _merged_halo(_ngf)):
+    if _merged_supported(t_pad, hop, _merged_halo(_ngf), scfg.n_bins):
         return _merged_gate_from_blocks(
             blocks, cfg, n_samples, interpret, noise_thresh, out_slice, fast,
             boundary,
@@ -1877,7 +1891,7 @@ def fused_tpugate_supported(gate, n_samples: int, xn_samples=None) -> bool:
         # spectra kernel (_torch_threshold_stats), which has its own
         # (smaller) footprint and raised scoped limit.
         if pos == 0 and not (
-            _merged_supported(tp, hop, _torch_merged_halo(freq_taps))
+            _merged_supported(tp, hop, _torch_merged_halo(freq_taps), scfg.n_bins)
             or _split_vmem_ok(tp, hop)
         ):
             return False
@@ -2180,7 +2194,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
         freq_taps = None
         vt = None
 
-    if _merged_supported(t_pad, hop, _torch_merged_halo(freq_taps)):
+    if _merged_supported(t_pad, hop, _torch_merged_halo(freq_taps), scfg.n_bins):
         return _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt)
 
     x2 = x.reshape(B, n_samples).astype(jnp.float32)

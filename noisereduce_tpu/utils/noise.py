@@ -17,14 +17,23 @@ __all__ = ["fftnoise", "band_limited_noise", "band_limited_noise_jax"]
 
 def fftnoise(f):
     """Random-phase noise with the given (Hermitian-symmetrized) magnitude
-    spectrum (generate_noise.py:4-13)."""
-    f = np.array(f, dtype="complex")
-    n_p = (len(f) - 1) // 2
-    phases = np.random.rand(n_p) * 2 * np.pi
-    phases = np.cos(phases) + 1j * np.sin(phases)
-    f[1 : n_p + 1] *= phases
-    f[-1 : -1 - n_p : -1] = np.conj(f[1 : n_p + 1])
-    return np.fft.ifft(f).real
+    spectrum.
+
+    Provenance: this is the classic spectrum-shaping recipe from
+    https://stackoverflow.com/a/36564667 (which the reference utility,
+    generate_noise.py:4-13, also credits). The positive-frequency bins get
+    unit-modulus phases from ONE ``np.random.rand`` draw of (len-1)//2
+    values on the global NumPy RNG — the same draw order as the reference,
+    so seeded workloads produce the same noise.
+    """
+    spec = np.asarray(f, dtype=complex).copy()
+    n_pos = (spec.shape[0] - 1) // 2
+    theta = np.random.rand(n_pos) * 2 * np.pi
+    spec[1 : n_pos + 1] *= np.cos(theta) + 1j * np.sin(theta)
+    # negative-frequency bins mirror the rotated positive bins so the
+    # inverse transform is real up to rounding
+    spec[-1 : -1 - n_pos : -1] = spec[1 : n_pos + 1].conj()
+    return np.fft.ifft(spec).real
 
 
 def band_limited_noise(min_freq, max_freq, samples=1024, samplerate=1):

@@ -50,6 +50,22 @@ def test_stationary_bf16_envelope():
     assert rel_rms <= 1.0e-1, rel_rms
 
 
+def test_stationary_bf16_warns():
+    """The -25 dB stationary bf16 envelope must not be silent (VERDICT r2)."""
+    with pytest.warns(UserWarning, match="bfloat16.*stationary"):
+        nr.reduce_noise(y=Y[: SR // 2], sr=SR, stationary=True,
+                        compute_dtype=jnp.bfloat16, method="matmul")
+
+
+def test_nonstationary_bf16_does_not_warn():
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        nr.reduce_noise(y=Y[: SR // 2], sr=SR,
+                        compute_dtype=jnp.bfloat16, method="matmul")
+
+
 def test_torch_path_bf16_runs_and_bounded():
     f32 = nr.reduce_noise(y=Y, sr=SR, use_torch=True,
                           compute_dtype=np.float32, method="matmul")

@@ -366,8 +366,9 @@ def test_merged_matches_split(name, stat, n, sr, kw, monkeypatch):
     geom = pp._geometry(scfg, n)
     t_pad, hop = geom[5], geom[1]
     ngf = cfg.smoothing[0] if cfg.smoothing else 0
-    assert pp._merged_supported(t_pad, hop, pp._merged_halo(ngf)), \
-        "case expected to take the merged kernel"
+    assert pp._merged_supported(
+        t_pad, hop, pp._merged_halo(ngf), scfg.n_bins
+    ), "case expected to take the merged kernel"
     merged = np.asarray(
         _fused_gate_impl(x, cfg, interpret=True, noise_thresh=thr), np.float64
     )
@@ -503,6 +504,21 @@ def test_tpugate_vmem_overflow_geometry_not_supported():
 
     gate = TPUGate(sr=48000, nonstationary=True, freq_mask_smooth_hz=6000)
     assert not fused_tpugate_supported(gate, 1_280_000)
+
+
+def test_merged_rejects_single_core_bin_last_tile():
+    """n_bins ≡ 1 (mod core) with frequency smoothing on: the last tile's
+    Nyquist-extension lane would source an under-smoothed halo lane, so the
+    merged kernel must decline (split path handles it) — ADVICE r2."""
+    from noisereduce_tpu.ops import pallas_pipeline as pp
+
+    halo = 3  # n_grad_freq = 1 -> in-tile banded smoothing active
+    core = pp._FT - 2 * halo
+    assert not pp._merged_supported(256, 256, halo, 2 * core + 1)
+    assert pp._merged_supported(256, 256, halo, 2 * core + 2)
+    # no smoothing (default halo): no in-tile banded sum, no rejection
+    dcore = pp._FT - 2 * pp._HALO
+    assert pp._merged_supported(256, 256, pp._HALO, 2 * dcore + 1)
 
 
 def test_threshold_spectra_vmem_guard():
