@@ -4,6 +4,7 @@ differentiable TPUGate embedded in a training step.
 
 Run: python examples/demo.py [path/to/audio.wav]
 """
+import os
 import sys
 
 import numpy as np
@@ -11,9 +12,13 @@ import numpy as np
 import noisereduce_tpu as nr
 from noisereduce_tpu.utils import io as nrio
 
+_SPEECH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "assets", "speech.wav"
+)
+
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/assets/fish.wav"
+    path = sys.argv[1] if len(sys.argv) > 1 else _SPEECH
     rate, data = nrio.read_wav(path, dtype="float32")
     if data.ndim == 2:
         data = data.mean(axis=1)

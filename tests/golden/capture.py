@@ -41,7 +41,18 @@ def build_inputs():
 
     np.random.seed(42)
     noise = band_limited_noise(2000, 12000, N, SR) * 300.0
-    return y_mono, y_stereo, noise
+
+    # BASELINE config #1's exact workload shape (reference
+    # test_reduction.py:6-19): a DISTINCT noise recording as y_noise plus
+    # non-default FFT geometry — here on the repo's own assets (speech.wav
+    # as the voice, cafe.wav as the noise recording).
+    _, speech = wavfile.read(os.path.join(HERE, "..", "..", "assets",
+                                          "speech.wav"))
+    _, cafe = wavfile.read(os.path.join(HERE, "..", "..", "assets",
+                                        "cafe.wav"))
+    y_recorded = speech.astype(np.float64) + cafe.astype(np.float64)
+    cafe_clip = cafe.astype(np.float64)
+    return y_mono, y_stereo, noise, y_recorded, cafe_clip
 
 
 # name -> (input key, kwargs). Covers the five BASELINE.json configs:
@@ -65,6 +76,13 @@ CONFIGS = {
         {"use_torch": True, "device": "cpu",
          "chunk_size": 8000, "padding": 1500},
     ),
+    # BASELINE config #1: stationary gate, a separate noise RECORDING as
+    # y_noise (not synthetic band noise), non-default n_fft=2048
+    # (reference test_reduction.py:6-19 workload shape)
+    "stationary_recorded_noise_nfft2048": (
+        "y_recorded",
+        {"stationary": True, "n_fft": 2048, "use_recorded_noise": True},
+    ),
 }
 
 
@@ -73,23 +91,29 @@ def main():
         sys.path.insert(0, REFERENCE)
     import noisereduce as nr_ref
 
-    y_mono, y_stereo, noise = build_inputs()
-    inputs = {"y_mono": y_mono, "y_stereo": y_stereo, "noise": noise}
+    y_mono, y_stereo, noise, y_recorded, cafe_clip = build_inputs()
+    inputs = {"y_mono": y_mono, "y_stereo": y_stereo, "noise": noise,
+              "y_recorded": y_recorded, "cafe_clip": cafe_clip}
 
     arrays = dict(inputs)
     meta = {"sr": SR, "configs": {}}
     for name, (ykey, kw) in CONFIGS.items():
         kw = dict(kw)
         use_noise = kw.pop("use_noise", False)
+        use_recorded = kw.pop("use_recorded_noise", False)
         call_kw = dict(kw)
         if use_noise:
             call_kw["y_noise"] = noise[: SR // 4]
+        if use_recorded:
+            call_kw["y_noise"] = cafe_clip
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             out = nr_ref.reduce_noise(y=inputs[ykey], sr=SR, **call_kw)
         arrays[f"out_{name}"] = np.asarray(out)
-        meta["configs"][name] = {"input": ykey, "use_noise": use_noise,
-                                 "kwargs": kw}
+        meta["configs"][name] = {
+            "input": ykey, "use_noise": use_noise,
+            "use_recorded_noise": use_recorded, "kwargs": kw,
+        }
         print(f"captured {name}: out shape {out.shape} dtype {out.dtype}")
 
     np.savez_compressed(os.path.join(HERE, "golden_v1.npz"), **arrays)

@@ -41,6 +41,9 @@ def test_golden_config(golden, name):
     kw = dict(cfg["kwargs"])
     if cfg["use_noise"]:
         kw["y_noise"] = data["noise"][: sr // 4]
+    if cfg.get("use_recorded_noise"):
+        # BASELINE config #1 shape: a separate noise RECORDING as y_noise
+        kw["y_noise"] = data["cafe_clip"]
     ours = np.asarray(nr.reduce_noise(y=y, sr=sr, **kw))
     ref = data[f"out_{name}"]
     assert ours.shape == ref.shape and ours.dtype == ref.dtype

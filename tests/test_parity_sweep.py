@@ -1,35 +1,25 @@
 """Broad parameter-space parity sweep vs the reference — beyond the default
-configs: unusual FFT geometries, sample rates, time constants, paddings."""
-import os
-import sys
-import warnings
-
+configs: unusual FFT geometries, sample rates, time constants, paddings.
+Runs live against a reference checkout when present, else replays recorded
+reference outputs (tests/_reference_oracle.py) — zero skips either way."""
 import numpy as np
 import pytest
 from scipy.io import wavfile
 
-REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not available"
-)
-if os.path.isdir(REFERENCE) and REFERENCE not in sys.path:
-    sys.path.insert(0, REFERENCE)
+from _reference_oracle import SPEECH_WAV, reference_reduce_noise
 
-import noisereduce as nr_ref  # noqa: E402
 import noisereduce_tpu as nr  # noqa: E402
 
 
 def _signal(n, sr_seed=3):
-    _, data = wavfile.read(os.path.join(REFERENCE, "assets", "fish.wav"))
+    _, data = wavfile.read(SPEECH_WAV)
     x = data.astype(np.float64)[:n]
     rng = np.random.default_rng(sr_seed)
     return x + rng.standard_normal(n) * 150.0
 
 
 def _cmp(y, sr, tol=1e-8, **kw):
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        ref = nr_ref.reduce_noise(y=y, sr=sr, **kw)
+    ref = reference_reduce_noise(y, sr, **kw)
     ours = nr.reduce_noise(y=y, sr=sr, **kw)
     assert ours.shape == ref.shape
     dev = np.max(np.abs(ours - ref))
@@ -89,12 +79,14 @@ def test_large_padding():
 def test_noise_clip_shorter_than_win():
     # noise clip barely longer than one window
     y = _signal(25000)
+    np.random.seed(1205)  # deterministic inputs (replay-keyed by content)
     noise = np.asarray(nr.band_limited_noise(500, 4000, 3000, 44100)) * 200
     _cmp(y, 44100, stationary=True, y_noise=noise)
 
 
 def test_no_clip_noise_stationary():
     y = _signal(25000)
+    np.random.seed(1206)  # deterministic inputs (replay-keyed by content)
     noise = np.asarray(nr.band_limited_noise(500, 4000, 40000, 44100)) * 200
     _cmp(y, 44100, stationary=True, y_noise=noise, clip_noise_stationary=False,
          chunk_size=9000)

@@ -1,29 +1,21 @@
 """End-to-end parity: noisereduce_tpu.reduce_noise vs the reference package.
 
-The reference (timsainb/noisereduce) is imported directly from
-/root/reference and run on the same inputs; outputs must agree within the
-1e-4 max-abs-dev budget (BASELINE.json) — in float64 the pipelines actually
-agree to ~1e-8.
+With a reference checkout present the reference runs LIVE on the same
+inputs; without one the comparison replays recorded reference outputs from
+tests/golden/parity_v1.npz (see tests/_reference_oracle.py) — zero skips
+either way. Outputs must agree within the 1e-4 max-abs-dev budget
+(BASELINE.json) — in float64 the pipelines actually agree to ~1e-8.
 
 Covers the five BASELINE.json configs (stationary w/ noise clip,
-non-stationary, multichannel, chunked, torch path).
+non-stationary, multichannel, chunked, torch path), on the repo's own
+committed recording (assets/speech.wav).
 """
-import os
-import sys
-import warnings
-
 import numpy as np
 import pytest
 from scipy.io import wavfile
 
-REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not available"
-)
-if os.path.isdir(REFERENCE) and REFERENCE not in sys.path:
-    sys.path.insert(0, REFERENCE)
+from _reference_oracle import SPEECH_WAV, reference_reduce_noise
 
-import noisereduce as nr_ref  # noqa: E402  (the reference)
 import noisereduce_tpu as nr  # noqa: E402  (ours)
 
 SR = 44100
@@ -31,7 +23,7 @@ N = 30000  # keep tests fast; > 2*win_length and exercises edge handling
 
 
 def _signal(n=N, channels=None, seed=7):
-    _, data = wavfile.read(os.path.join(REFERENCE, "assets", "fish.wav"))
+    _, data = wavfile.read(SPEECH_WAV)
     x = data.astype(np.float64)[:n]
     rng = np.random.default_rng(seed)
     x = x + rng.standard_normal(n) * 200.0
@@ -41,9 +33,7 @@ def _signal(n=N, channels=None, seed=7):
 
 
 def _ref(y, **kw):
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        return nr_ref.reduce_noise(y=y, sr=SR, **kw)
+    return reference_reduce_noise(y, SR, **kw)
 
 
 def _assert_parity(ours, ref, tol=1e-8):
@@ -56,6 +46,7 @@ def _assert_parity(ours, ref, tol=1e-8):
 
 def test_stationary_with_noise_clip():
     y = _signal()
+    np.random.seed(1203)  # deterministic inputs (replay-keyed by content)
     noise = np.asarray(nr.band_limited_noise(2000, 12000, N, SR)) * 300
     ours = nr.reduce_noise(y=y, sr=SR, stationary=True, y_noise=noise[: SR // 4])
     ref = _ref(y, stationary=True, y_noise=noise[: SR // 4])
@@ -117,7 +108,7 @@ def test_smoothing_disabled():
 
 
 def test_int16_dtype_roundtrip():
-    _, data = wavfile.read(os.path.join(REFERENCE, "assets", "fish.wav"))
+    _, data = wavfile.read(SPEECH_WAV)
     y = data[:N]  # int16
     ours = nr.reduce_noise(y=y, sr=SR, stationary=True)
     ref = _ref(y, stationary=True)
@@ -152,6 +143,7 @@ def test_torch_path_chunked(stationary):
 def test_torch_path_with_noise_clip():
     pytest.importorskip("torch")
     y = _signal()
+    np.random.seed(1204)  # deterministic inputs (replay-keyed by content)
     noise = np.asarray(nr.band_limited_noise(2000, 12000, N + 5000, SR)) * 300
     ours = nr.reduce_noise(
         y=y, sr=SR, use_torch=True, device="cpu", stationary=True, y_noise=noise

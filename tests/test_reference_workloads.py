@@ -1,7 +1,8 @@
-"""The reference's own six smoke tests (test_reduction.py), run through
-noisereduce_tpu with the same fish.wav + band-limited-noise workload —
-but with output-quality assertions the reference lacks (finite, shape,
-dtype, and actual noise reduction in the gated band)."""
+"""The reference's six smoke-test workloads (test_reduction.py:6-117), run
+through noisereduce_tpu on the repo's OWN committed recording
+(assets/speech.wav — same sample rate / length / dtype envelope as the
+reference's fish.wav) — with output-quality assertions the reference lacks
+(finite, shape, dtype, and actual noise reduction in the gated band)."""
 import os
 
 import numpy as np
@@ -11,15 +12,14 @@ from scipy.io import wavfile
 import noisereduce_tpu as nr
 from noisereduce_tpu.utils.noise import band_limited_noise
 
-FISH = "/root/reference/assets/fish.wav"
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(FISH), reason="reference assets not available"
+SPEECH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "assets", "speech.wav"
 )
 
 
 @pytest.fixture(scope="module")
 def workload():
-    rate, data = wavfile.read(FISH)
+    rate, data = wavfile.read(SPEECH)
     np.random.seed(0)
     noise = band_limited_noise(
         min_freq=2000, max_freq=12000, samples=len(data), samplerate=rate
