@@ -177,7 +177,8 @@ def _gate_stationary_jnp(
 ) -> jax.Array:
     """Staged pipeline (XLA ops), time-major: (..., frames, bins) — the
     DFT's native layout, the per-frequency threshold broadcasts over
-    frames. Also the numerical oracle and grad twin of the fused path."""
+    frames. Also the numerical oracle and backward-pass (cotangent)
+    twin of the fused path — the fused kernels are the grad primal."""
     n_samples = chunk.shape[-1]
     re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
     ddt = _mask_dtype(re.dtype)
@@ -233,7 +234,8 @@ def _gate_nonstationary_jnp(
     use_pallas: object = False,
 ) -> jax.Array:
     """Staged pipeline (XLA ops; optional fused mask kernel). Also the
-    numerical oracle and grad twin of the fully fused Pallas path."""
+    numerical oracle and backward-pass (cotangent) twin of the fully
+    fused Pallas path — the fused kernels are the grad primal."""
     n_samples = chunk.shape[-1]
     re, im = stft(chunk, cfg.stft, method=method, time_major=True, split=True)
     pallas_ok = _pallas_decision(use_pallas, re.dtype, re.shape[-2])

@@ -135,8 +135,9 @@ class TPUGate:
         (torchgate.py:200-264).
 
         On TPU with supported geometry the whole gate runs as fused Pallas
-        kernels (ops/pallas_pipeline.fused_tpugate); the staged jnp body
-        below is the CPU/parity path and the grad twin.
+        kernels (ops/pallas.fused_tpugate) — including as the primal under
+        ``jax.grad`` (training forward == serving forward); the staged jnp
+        body below is the CPU/parity path and supplies the cotangent.
         """
         if x.ndim != 2:
             raise ValueError("x must have shape (batch, signal_length)")
