@@ -37,6 +37,84 @@ PAD = 30000
 REF_DURATION_S = 20       # reference CPU measurement length (RTF ~ length-free)
 
 
+# v5e (TPU v5 lite) peaks used for the roofline claim. Sources: public
+# TPU v5e specs (197 TFLOP/s bf16 via MXU; 819 GB/s HBM BW per chip).
+_PEAK_BF16_FLOPS = 197e12
+_PEAK_HBM_BPS = 819e9
+
+
+def _roofline_model(n_samples, chunk, pad, fast):
+    """Static-geometry cost model of the headline chunked run: MXU flops
+    and HBM bytes of every major stream, against v5e peaks.
+
+    Returns (t_mxu_s, t_hbm_s, flops_equiv, bytes). ``flops_equiv`` counts
+    bf16 MXU passes — six per dot at f32 HIGHEST, one at bf16 DEFAULT — so
+    MFU is relative to the chip's actual bf16 peak.
+    """
+    from noisereduce_tpu.config import GateConfig
+    from noisereduce_tpu.ops.pallas.geometry import (
+        _FT, _TB, _geometry, _merged_halo,
+    )
+
+    cfg = GateConfig(sr=SR, stationary=False)
+    scfg = cfg.stft
+    view = chunk + 2 * pad
+    k = (n_samples - 1) // chunk + 1
+    ngf = cfg.smoothing[0] if cfg.smoothing else 0
+    halo = _merged_halo(ngf)
+    win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
+        scfg, view, halo
+    )
+    need = n_blocks * hop
+
+    # ---- MXU MACs per (chunk, F-tile) of the merged kernel --------------
+    if fast:  # direct windowed-DFT kernels: r dots per block, each side
+        spectra = r * t_pad * hop * 2 * _FT
+        istft = r * t_pad * 2 * _FT * hop
+    else:     # hop-block factorization: one FB / one inverse dot per block
+        spectra = t_pad * hop * 2 * _FT
+        istft = t_pad * 2 * _FT * hop
+    iir = 2 * t_pad * _TB * _FT              # filtfilt fwd+bwd block dots
+    band = t_pad * _FT * _FT if ngf else 0   # in-tile frequency smoothing
+    macs = k * n_tiles * (spectra + iir + band + istft)
+    passes = 1 if fast else 6                # bf16 MXU passes per dot
+    flops_equiv = 2.0 * macs * passes
+
+    # ---- HBM bytes: every major stream of the one-launch graph ----------
+    in_b = 2 if fast else 4                  # signal / gathered blocks
+    out_b = 2 if fast else 4                 # final output dtype
+    n = n_samples
+    pad_rw = 2 * n * in_b                    # jnp.pad of the signal
+    gather = 2 * k * need * in_b             # overlapped slices + stack
+    kernel_in = k * need * in_b              # per-chunk DMA of the blocks
+    ola_out = k * t_pad * hop * 4            # OLA hop-block plane write
+    inv_const = t_pad * hop * 4              # 1/envelope plane (resident)
+    tail = k * t_pad * hop * 4 + n * out_b   # tail read + output write
+    checksum = n * out_b
+    bytes_total = (
+        pad_rw + gather + kernel_in + ola_out + inv_const + tail + checksum
+    )
+
+    return (
+        flops_equiv / _PEAK_BF16_FLOPS,
+        bytes_total / _PEAK_HBM_BPS,
+        flops_equiv,
+        bytes_total,
+    )
+
+
+def _roofline_extras(extras, prefix, t_wall, t_launch, fast):
+    """Attach roofline_fraction/MFU for a measured headline run."""
+    t_mxu, t_hbm, flops, nbytes = _roofline_model(SR * DURATION_S, CHUNK,
+                                                  PAD, fast)
+    t_onchip = max(t_wall - t_launch, 1e-9)
+    binding = max(t_mxu, t_hbm)
+    extras[f"{prefix}_model_mxu_ms"] = round(t_mxu * 1e3, 2)
+    extras[f"{prefix}_model_hbm_ms"] = round(t_hbm * 1e3, 2)
+    extras[f"{prefix}_roofline_fraction"] = round(binding / t_onchip, 3)
+    extras[f"{prefix}_mfu"] = round(flops / t_onchip / _PEAK_BF16_FLOPS, 3)
+
+
 def _measure_tpu(extras):
     import jax
 
@@ -98,6 +176,10 @@ def _measure_tpu(extras):
             extras["onchip_rtf_est"] = round(
                 DURATION_S / (t_head - t_launch), 1
             )
+        # roofline/MFU vs the chip's limits (VERDICT r2 item 3): the
+        # fraction of the binding resource's (MXU here — six-pass f32
+        # HIGHEST dots) theoretical time in the measured on-chip time
+        _roofline_extras(extras, "f32", t_head, t_launch, fast=False)
     except Exception as e:
         extras["launch_probe_error"] = repr(e)[:120]
 
@@ -167,6 +249,11 @@ def _measure_tpu(extras):
         y_bf = y960.astype(jnp.bfloat16)
         t_bf = timeit(forward_fn("auto", jnp.bfloat16), y_bf)
         extras["bf16_rtf"] = round(DURATION_S / t_bf, 1)
+        if "launch_overhead_ms" in extras:
+            _roofline_extras(
+                extras, "bf16", t_bf,
+                extras["launch_overhead_ms"] / 1e3, fast=True,
+            )
 
         @jax.jit
         def bfdev(y):

@@ -101,8 +101,17 @@ def _merged_gate_from_blocks(
     # DEFAULT) instead of six true-f32 passes; planes/accumulators stay f32
     prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
 
+    bf16_blocks = blocks.dtype == jnp.bfloat16
+    if bf16_blocks:
+        # bf16 blocks rely on read-time boundary masking in the direct
+        # kernel body; the mask must also cover the un-DMA'd scratch tail
+        assert boundary is not None
+        assert blocks.shape[1] * hop >= boundary[0] + boundary[1]
+        assert blocks.shape[1] % 16 == 0 and blocks.shape[1] <= t_pad + 16
+    # bf16 scratch reads use a 16-row lookahead (bf16 sublane tiling)
+    extw = 16 if bf16_blocks else ext
     common = dict(
-        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=ext, t_real=n_frames,
+        n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=extw, t_real=n_frames,
         bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
         core=_FT - 2 * halo, prec=prec, boundary=boundary, direct=fast,
     )
@@ -149,10 +158,10 @@ def _merged_gate_from_blocks(
         pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # re_w plane
         pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # im_w plane
         pltpu.VMEM((1, t_pad, _FT), jnp.float32),  # mask plane
-        pltpu.VMEM((ext, _FT), jnp.float32),       # FB tail, real
-        pltpu.VMEM((ext, _FT), jnp.float32),       # FB tail, imag
+        pltpu.VMEM((extw, _FT), jnp.float32),      # FB tail, real
+        pltpu.VMEM((extw, _FT), jnp.float32),      # FB tail, imag
         pltpu.VMEM((t_pad, _FT), jnp.float32),     # dB / IIR / raw mask
-        pltpu.VMEM((nb_pad, hop), jnp.float32),    # hop blocks (DMA'd per i)
+        pltpu.VMEM((t_pad + extw, hop), blocks.dtype),  # hop blocks (DMA'd)
         pltpu.SemaphoreType.DMA(()),
     ]
     out_shape = jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32)
@@ -830,12 +839,25 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
     need = n_blocks * hop
     bpad = scfg.boundary_pad
     left = padding + bpad
+    _ngf = cfg.smoothing[0] if cfg.smoothing else 0
+    # bf16 fast mode on the merged kernel ships the hop blocks in bf16 —
+    # HALF the XLA gather traffic — and the direct kernel body upcasts and
+    # boundary-masks at read time (the boundary must fit the raw rows)
+    bf16_blocks = (
+        fast
+        and bpad % hop == 0
+        and need >= bpad + view
+        and _merged_supported(t_pad, hop, _merged_halo(_ngf), scfg.n_bins)
+    )
     # k overlapping dynamic-slices of the padded signal. (A phase-aligned
     # whole-row jnp.take gather and a vmapped large-slice gather were both
     # tried and are bit-identical but SLOWER on v5e — XLA lowers row
     # gathers poorly; the strided slices fuse into the stack.)
     right = max(0, (k - 1) * chunk_size + need - n - left)
-    ypad = jnp.pad(y2d.astype(jnp.float32), [(0, 0), (left, right)])
+    ypad = jnp.pad(
+        y2d if bf16_blocks else y2d.astype(jnp.float32),
+        [(0, 0), (left, right)],
+    )
     parts = [
         jax.lax.dynamic_slice_in_dim(ypad, i * chunk_size, need, axis=-1)
         for i in range(k)
@@ -843,11 +865,13 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
     ext_sig = jnp.stack(parts, axis=1)  # (ch, k, need)
     if bpad % hop == 0:
         # scipy's per-chunk boundary zeros (positions outside
-        # [bpad, bpad + view)) and the nb_pad row padding are applied by
-        # the kernel right after its DMA — XLA ships the raw rows, padded
-        # only to the 8-row DMA alignment Mosaic requires
+        # [bpad, bpad + view)) and the row padding are applied by the
+        # kernel right after its DMA (f32: zeroing stores; bf16: read-time
+        # masking) — XLA ships the raw rows, padded only to the row
+        # alignment Mosaic's DMA requires (8 f32 / 16 bf16)
         boundary = (bpad, view)
-        n8 = -(-n_blocks // 8) * 8
+        rmult = 16 if bf16_blocks else 8
+        n8 = -(-n_blocks // rmult) * rmult
         blocks = jnp.pad(
             ext_sig.reshape(ch * k, n_blocks, hop),
             [(0, 0), (0, n8 - n_blocks), (0, 0)],

@@ -151,11 +151,23 @@ def _spectra_phases(
     """
     i = pl.program_id(0)
     nb_pad, hop = blocks_ref.shape
+    bf16_blocks = blocks_ref.dtype == jnp.bfloat16
 
     @pl.when(j == 0)
     def _():
         if boundary is None:
             dma = pltpu.make_async_copy(blocks_hbm.at[i], blocks_ref, dma_sem)
+            dma.start()
+            dma.wait()
+        elif bf16_blocks:
+            # bf16 blocks (the fast chunked path): copy the raw rows and
+            # apply the boundary + tail zeros at READ time in the direct
+            # body (value masking) — bf16 sublane tiling makes partial-row
+            # stores awkward, and the masking is a cheap VPU compare.
+            n_src = blocks_hbm.shape[1]
+            dma = pltpu.make_async_copy(
+                blocks_hbm.at[i], blocks_ref.at[pl.ds(0, n_src)], dma_sem
+            )
             dma.start()
             dma.wait()
         else:
@@ -203,7 +215,23 @@ def _spectra_phases(
 
         def direct_body(tb, _):
             sblk = pl.multiple_of(tb * _TB, _TB)
-            window = blocks_ref[pl.ds(sblk, _TB + ext), :]
+            window = blocks_ref[pl.ds(sblk, _TB + ext), :].astype(jnp.float32)
+            if bf16_blocks and boundary is not None:
+                # read-time boundary masking (see the DMA prologue): zeros
+                # outside [bpad, bpad + view), which also covers the
+                # un-DMA'd scratch tail (the caller asserts
+                # n_src * hop >= bpad + view)
+                bpad, view = boundary
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (_TB + ext, hop), 0
+                ) + sblk
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (_TB + ext, hop), 1
+                )
+                pos = rows * hop + cols
+                window = jnp.where(
+                    (pos >= bpad) & (pos < bpad + view), window, 0.0
+                )
             acc = jnp.zeros((_TB, 2 * _FT), jnp.float32)
             for k in range(r):
                 a = jax.lax.slice_in_dim(window, k, k + _TB, axis=0)
