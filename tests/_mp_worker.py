@@ -1,0 +1,91 @@
+"""Worker for the 2-process jax.distributed test (test_multiprocess.py).
+
+Each process owns HALF the chunks of a shared recording, holding only its
+own segment cut WITH ``padding`` overlap from the source (the
+``distributed_chunks`` docstring contract, parallel/mesh.py) — halos come
+from the source signal, zero-filled only at the true recording edges.
+The processes assemble one globally sharded chunk array over the 8-device
+(2 hosts x 4 virtual CPU devices) mesh and run the shard-mapped gate; each
+process then verifies its addressable shards bit-for-bit against the
+locally recomputed per-chunk gate.
+
+Usage: python tests/_mp_worker.py <process_id> <coordinator_port>
+"""
+import os
+import sys
+
+PID = int(sys.argv[1])
+PORT = sys.argv[2]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{PORT}", num_processes=2, process_id=PID
+)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from noisereduce_tpu.config import GateConfig  # noqa: E402
+from noisereduce_tpu.models.spectral_gate import gate_nonstationary  # noqa: E402
+from noisereduce_tpu.parallel.chunking import shard_filter  # noqa: E402
+from noisereduce_tpu.parallel.mesh import distributed_chunks  # noqa: E402
+
+CHUNK, PAD = 4000, 600
+N_CHUNKS = 8
+LOCAL = N_CHUNKS // 2
+
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 4
+
+rng = np.random.default_rng(0)  # same recording on both processes
+y = (rng.standard_normal((1, N_CHUNKS * CHUNK)) * 100).astype(np.float32)
+cfg = GateConfig(sr=44100, stationary=False)
+
+# --- segment cut with halo overlap (the multi-host contract) -------------
+view = CHUNK + 2 * PAD
+ypad = np.pad(y, [(0, 0), (PAD, PAD)])  # zero-fill at true recording edges
+my_chunks = range(PID * LOCAL, (PID + 1) * LOCAL)
+local = np.stack(
+    [ypad[:, i * CHUNK : i * CHUNK + view] for i in my_chunks], axis=1
+)  # (1, LOCAL, view) — only this process's segment (+ overlap) is held
+
+mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chunks",))
+garr = distributed_chunks(local, mesh)
+assert garr.shape == (1, N_CHUNKS, view)
+
+
+def fn(chunks):
+    return gate_nonstationary(chunks, cfg, method="matmul", use_pallas=False)
+
+
+out = jax.jit(
+    lambda c: shard_filter(fn, c, mesh),
+)(garr)
+out.block_until_ready()
+
+# --- verify: every addressable shard == the locally recomputed gate ------
+# (XLA fuses the shard-mapped body differently from a plain jit of the
+# same math, so agreement is to f32 rounding, not bitwise — the same
+# envelope the single-host mesh tests use)
+ref = np.asarray(jax.jit(fn)(jnp.asarray(local)))  # (1, LOCAL, view)
+scale = np.abs(ref).max()
+checked = 0
+for shard in out.addressable_shards:
+    sl = shard.index[-2]  # chunk-axis slice of this shard
+    lo = sl.start or 0
+    got = np.asarray(shard.data)
+    want = ref[:, lo - PID * LOCAL : lo - PID * LOCAL + got.shape[-2], :]
+    assert got.shape == want.shape, (got.shape, want.shape)
+    dev = np.abs(got - want).max()
+    assert dev <= 1e-5 * scale, f"shard {sl}: dev {dev} (scale {scale})"
+    checked += got.shape[-2]
+assert checked == LOCAL, checked
+print(f"proc {PID}: OK ({checked} chunks verified)")
