@@ -104,6 +104,60 @@ def main():
     rows.append(("torch-convention non-stationary", DUR / timeit(torch_conv, y)))
     log(rows[-1])
 
+    # 4b. bf16 fast mode (direct windowed-DFT kernels) on both conventions
+    log("running: bf16 fast modes...")
+    rows.append((
+        "non-stationary (mono, bf16 fast mode)",
+        DUR / timeit(nonstat, y.astype(jnp.bfloat16)),
+    ))
+    log(rows[-1])
+    rows.append((
+        "torch-convention non-stationary (bf16 fast mode)",
+        DUR / timeit(torch_conv, y.astype(jnp.bfloat16)),
+    ))
+    log(rows[-1])
+
+    # 4c. merged-torch on-device health assertion: the fused TPUGate path
+    # vs the staged jnp path on the same input (VERDICT r2 item 4)
+    log("running: merged-torch assertion...")
+    y30 = jax.device_put(
+        jnp.asarray(rng.standard_normal((2, SR * 30)), jnp.float32)
+    )
+
+    @jax.jit
+    def torch_both(c):
+        a = gate(c, method="matmul", use_pallas="auto")
+        b = gate(c, method="matmul", use_pallas=False)
+        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+
+    d, sc = torch_both(y30)
+    rel = float(d) / max(float(sc), 1e-30)
+    assert rel < 5e-3, f"merged torch vs staged rel dev {rel}"
+    log(f"merged-torch fused vs staged rel dev: {rel:.2e}")
+
+    # 4d. file-to-file streaming (native IO reader + one-deep IO/compute
+    # pipeline); RTF includes disk reads AND writes
+    log("running: file streaming...")
+    import tempfile
+
+    from noisereduce_tpu.streaming import reduce_noise_file
+    from noisereduce_tpu.utils import io as nrio
+
+    yf = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    tmpd = tempfile.mkdtemp(prefix="nrbench")
+    fin = os.path.join(tmpd, "in.wav")
+    fout = os.path.join(tmpd, "out.wav")
+    nrio.write_wav(fin, yf, SR)
+    reduce_noise_file(fin, fout)  # warm (compile)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reduce_noise_file(fin, fout)
+        best = min(best, time.perf_counter() - t0)
+    rows.append(("file-to-file streaming (mono wav, incl. disk IO)",
+                 DUR / best))
+    log(rows[-1])
+
     # 5. TPUGate training step (notebook-3.0): fwd+bwd through the gate.
     # Two batch sizes: 16 (the round-1 workload — dominated by the ~31 ms
     # remote-launch overhead of this environment) and 256 (saturates the

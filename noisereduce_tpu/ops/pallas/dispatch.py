@@ -110,6 +110,11 @@ def _merged_gate_from_blocks(
         assert blocks.shape[1] % 16 == 0 and blocks.shape[1] <= t_pad + 16
     # bf16 scratch reads use a 16-row lookahead (bf16 sublane tiling)
     extw = 16 if bf16_blocks else ext
+    # IIR carry-block size. Widening it on the fast path (384/512-row
+    # blocks, 3x fewer serial carry steps) measured NEUTRAL on v5e — the
+    # carry chain is already hidden under the pipelined dots — so it stays
+    # at _TB; the kernel remains parameterized for future chips.
+    tb_iir = _TB
     common = dict(
         n_tb=n_tb, n_tiles=n_tiles, r=r, hop=hop, ext=extw, t_real=n_frames,
         bin0_base=bin0_base, col_dc=col_dc, n_bins=n_bins, scale=scale,
@@ -146,10 +151,10 @@ def _merged_gate_from_blocks(
         (1, _FT, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
     )
     iirmat_spec = pl.BlockSpec(
-        (_TB, _TB), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        (tb_iir, tb_iir), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
     vec_spec = pl.BlockSpec(
-        (_TB, _FT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        (tb_iir, _FT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (1, t_pad, hop), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
@@ -164,14 +169,20 @@ def _merged_gate_from_blocks(
         pltpu.VMEM((t_pad + extw, hop), blocks.dtype),  # hop blocks (DMA'd)
         pltpu.SemaphoreType.DMA(()),
     ]
-    out_shape = jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32)
+    if fast:
+        # f32 OLA accumulator plane; the bf16 HBM output is written once,
+        # in kernel B's last-tile epilogue
+        scratch.append(pltpu.VMEM((1, t_pad, hop), jnp.float32))
+    out_shape = jax.ShapeDtypeStruct(
+        (B, t_pad, hop), jnp.bfloat16 if fast else jnp.float32
+    )
 
     if noise_thresh is None:
-        L, d_fwd, d_bwd, _ = _consts_np(cfg.iir_b, _TB)
+        L, d_fwd, d_bwd, _ = _consts_np(cfg.iir_b, tb_iir)
         am = functools.partial(
             _am_kernel, **common,
             b=cfg.iir_b, thresh=cfg.thresh_n_mult_nonstationary,
-            slope=cfg.sigmoid_slope_nonstationary, vt=vt,
+            slope=cfg.sigmoid_slope_nonstationary, vt=vt, tb_iir=tb_iir,
         )
         fs = functools.partial(
             _freq_smooth_blend_phase, n_tb=n_tb, t_real=n_frames,
@@ -181,12 +192,12 @@ def _merged_gate_from_blocks(
         if band_np is None:
             def kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
                        ci_ref, si_ref, inv_ref, out_ref, re_s, im_s, mask_s,
-                       tc, ts, y_s, bv, sem):
+                       tc, ts, y_s, bv, sem, *oacc):
                 am(b_ref, c_ref[0], s_ref[0], re_s, im_s, mask_s, tc, ts,
                    y_s, bv, sem, l_ref, lt_ref, df_ref, db_ref)
                 fs(mask_s, None)
                 bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
-                   inv=inv_ref)
+                   inv=inv_ref, oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, iirmat_spec,
                         iirmat_spec, vec_spec, vec_spec, idft_spec, idft_spec,
@@ -195,20 +206,20 @@ def _merged_gate_from_blocks(
                 blocks, jnp.asarray(c_np), jnp.asarray(s_np),
                 jnp.asarray(L), jnp.asarray(L.T),
                 jnp.asarray(np.ascontiguousarray(
-                    np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
+                    np.broadcast_to(d_fwd[:, None], (tb_iir, _FT)))),
                 jnp.asarray(np.ascontiguousarray(
-                    np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
+                    np.broadcast_to(d_bwd[:, None], (tb_iir, _FT)))),
                 jnp.asarray(ci_np), jnp.asarray(si_np), jnp.asarray(inv_np),
             )
         else:
             def kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
                        band_ref, ci_ref, si_ref, inv_ref, out_ref, re_s, im_s,
-                       mask_s, tc, ts, y_s, bv, sem):
+                       mask_s, tc, ts, y_s, bv, sem, *oacc):
                 am(b_ref, c_ref[0], s_ref[0], re_s, im_s, mask_s, tc, ts,
                    y_s, bv, sem, l_ref, lt_ref, df_ref, db_ref)
                 fs(mask_s, band_ref[0])
                 bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
-                   inv=inv_ref)
+                   inv=inv_ref, oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, iirmat_spec,
                         iirmat_spec, vec_spec, vec_spec, band_spec,
@@ -217,9 +228,9 @@ def _merged_gate_from_blocks(
                 blocks, jnp.asarray(c_np), jnp.asarray(s_np),
                 jnp.asarray(L), jnp.asarray(L.T),
                 jnp.asarray(np.ascontiguousarray(
-                    np.broadcast_to(d_fwd[:, None], (_TB, _FT)))),
+                    np.broadcast_to(d_fwd[:, None], (tb_iir, _FT)))),
                 jnp.asarray(np.ascontiguousarray(
-                    np.broadcast_to(d_bwd[:, None], (_TB, _FT)))),
+                    np.broadcast_to(d_bwd[:, None], (tb_iir, _FT)))),
                 jnp.asarray(band_np), jnp.asarray(ci_np), jnp.asarray(si_np),
                 jnp.asarray(inv_np),
             )
@@ -239,11 +250,11 @@ def _merged_gate_from_blocks(
 
         if band_np is None:
             def kernel(b_ref, c_ref, s_ref, t_ref, ci_ref, si_ref, inv_ref,
-                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem, *oacc):
                 ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
                     tc, ts, y_s, bv, sem)
                 bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
-                   inv=inv_ref)
+                   inv=inv_ref, oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
                         idft_spec, idft_spec, inv_spec]
@@ -254,12 +265,12 @@ def _merged_gate_from_blocks(
         else:
             def kernel(b_ref, c_ref, s_ref, t_ref, band_ref, ci_ref, si_ref,
                        inv_ref, out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv,
-                       sem):
+                       sem, *oacc):
                 ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_s, im_s, mask_s,
                     tc, ts, y_s, bv, sem)
                 fs(mask_s, band_ref[0])
                 bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
-                   inv=inv_ref)
+                   inv=inv_ref, oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
                         band_spec, idft_spec, idft_spec, inv_spec]
@@ -503,7 +514,7 @@ def _fused_stft_planes(x, scfg, interpret):
         col_dc=col_dc, n_bins=n_bins, scale=scale,
     )
 
-    def spectra_kernel(b_ref, c_ref, s_ref, re_ref, im_ref, tc, ts, bv, sem):
+    def spectra_kernel(b_ref, c_ref, s_ref, re_ref, im_ref, tc, ts, bv, sem, *oacc):
         sk(b_ref, c_ref[0], s_ref[0], re_ref, im_ref, tc, ts, bv, sem)
 
     plane_spec = pl.BlockSpec(
@@ -661,7 +672,7 @@ def _fused_gate_from_blocks(
         )
 
         def am_kernel(b_ref, c_ref, s_ref, l_ref, lt_ref, df_ref, db_ref,
-                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem, *oacc):
             am(b_ref, c_ref[0], s_ref[0], re_ref, im_ref, mask_ref, tc, ts, y,
                bv, sem, l_ref, lt_ref, df_ref, db_ref)
 
@@ -696,7 +707,7 @@ def _fused_gate_from_blocks(
         )
 
         def as_kernel(b_ref, c_ref, s_ref, t_ref, re_ref, im_ref, mask_ref,
-                      tc, ts, y, bv, sem):
+                      tc, ts, y, bv, sem, *oacc):
             ask(b_ref, c_ref[0], s_ref[0], t_ref[0], re_ref, im_ref, mask_ref,
                 tc, ts, y, bv, sem)
 

@@ -310,17 +310,37 @@ def _spectra_phases(
     jax.lax.fori_loop(0, n_tb, body, 0)
 
 
-def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt):
+def _time_band_rows(vt, H):
+    """(TB, 2H+TB) banded matrix of the time-smoothing taps, built at trace
+    time from iota selects (loop-invariant, hoisted): row t of the output
+    block is sum_d vt[d] * window[H - nt + d + t]."""
+    nt = (len(vt) - 1) // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_TB, 2 * H + _TB), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_TB, 2 * H + _TB), 1)
+    off = cols - rows - H + nt
+    w = jnp.zeros((_TB, 2 * H + _TB), jnp.float32)
+    for d in range(len(vt)):
+        w = jnp.where(off == d, jnp.float32(vt[d]), w)
+    return w
+
+
+def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt, mm=False,
+                       prec=_HIGHEST):
     """Blockwise time-axis 'same' triangular conv from src_ref (unsmoothed
     mask) into the mask output ref, with 16-row aligned halo reads
-    (full-plane rolls blow the VMEM temp budget). The tap loop runs on the
-    VPU on purpose: a banded-matmul variant measured ~2 ms/960s SLOWER on
-    v5e — the kernel is MXU-throughput-bound on its 6-pass HIGHEST dots, so
-    work must not migrate VPU -> MXU. Rows past t_real are re-zeroed
-    (smoothing spreads into them; downstream must see no frames there)."""
+    (full-plane rolls blow the VMEM temp budget).
+
+    Two engines: on the f32 HIGHEST path the tap loop runs on the VPU on
+    purpose — a banded-matmul variant measured ~2 ms/960s SLOWER on v5e
+    because that kernel is MXU-throughput-bound on its 6-pass dots. On the
+    bf16 direct path (``mm=True``) the MXU has slack, so the same stencil
+    runs as ONE (TB, 2H+TB) banded dot per block instead of ~2nt+1 VPU
+    passes. Rows past t_real are re-zeroed (smoothing spreads into them;
+    downstream must see no frames there)."""
     t_pad = src_ref.shape[0]
     nt = (len(vt) - 1) // 2
     H = 16  # halo rows (requires nt <= 16, see fused_gate_supported)
+    band = _time_band_rows(vt, H) if mm else None
 
     def smooth_body(tb, _):
         s = pl.multiple_of(tb * _TB, _TB)
@@ -332,12 +352,18 @@ def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt):
         nxt = src_ref[pl.ds(next_start, H), :]
         nxt = jnp.where(tb == n_tb - 1, 0.0, nxt)
         window = jnp.concatenate([prev, blk, nxt], axis=0)
-        acc = jnp.zeros((_TB, _FT), jnp.float32)
-        for d in range(2 * nt + 1):
-            sl = jax.lax.slice_in_dim(
-                window, H - nt + d, H - nt + d + _TB, axis=0
+        if mm:
+            acc = jnp.dot(
+                band, window, preferred_element_type=jnp.float32,
+                precision=prec,
             )
-            acc = acc + sl * jnp.float32(vt[d])
+        else:
+            acc = jnp.zeros((_TB, _FT), jnp.float32)
+            for d in range(2 * nt + 1):
+                sl = jax.lax.slice_in_dim(
+                    window, H - nt + d, H - nt + d + _TB, axis=0
+                )
+                acc = acc + sl * jnp.float32(vt[d])
         ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + s
         mask_ref[0, pl.ds(s, _TB), :] = jnp.where(ridx < t_real, acc, 0.0)
         return 0
@@ -350,7 +376,7 @@ def _am_kernel(
     blocks_ref, dma_sem, l_ref, lt_ref, dfwd_ref, dbwd_ref,
     *, n_tb, n_tiles, r, hop, ext, t_real, bin0_base, col_dc, n_bins,
     scale, b, thresh, slope, vt, core=_CORE, prec=_HIGHEST, boundary=None,
-    direct=False,
+    direct=False, tb_iir=_TB,
 ):
     """One (chunk, F-tile) cell: everything from hop-blocks to the
     (time-smoothed) non-stationary mask, with the windowed spectra as side
@@ -376,73 +402,84 @@ def _am_kernel(
     # recompute a block instead of branching. The backward dots stage their
     # partials in the mask plane (overwritten by the final mask afterwards)
     # to stay out of the forward result they read.
+    #
+    # ``tb_iir`` is the carry-block size: the serial carry chain has
+    # t_pad/tb_iir steps, while the L-dot MACs GROW with tb_iir (lower-
+    # triangular (tb_iir, tb_iir) operand). The f32 HIGHEST path keeps
+    # tb_iir == _TB (MXU-bound); the bf16 fast path widens it (dispatch
+    # picks the largest divisor of t_pad up to 512) — single-pass dots are
+    # nearly free there and the chain's serial latency dominates.
+    ti = tb_iir
+    nti = t_pad // ti
     d_fwd = dfwd_ref[...]
     d_bwd = dbwd_ref[...]
 
     def mag_at(start):
-        rr = re_ref[0, pl.ds(start, _TB), :]
-        ii = im_ref[0, pl.ds(start, _TB), :]
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        rr = re_ref[0, pl.ds(start, ti), :]
+        ii = im_ref[0, pl.ds(start, ti), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ti, _FT), 0) + start
         return jnp.where(ridx < t_real, jnp.sqrt(rr * rr + ii * ii), 0.0)
 
     def fwd_dot(start):
         xb = mag_at(start)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ti, _FT), 0) + start
         xb = jnp.where(ridx == 0, xb * jnp.float32(1.0 / b), xb)
-        y_ref[pl.ds(start, _TB), :] = jnp.dot(
+        y_ref[pl.ds(start, ti), :] = jnp.dot(
             l_ref[...], xb, preferred_element_type=jnp.float32,
             precision=prec,
         )
 
-    fwd_dot(pl.multiple_of(0, _TB))
+    fwd_dot(pl.multiple_of(0, ti))
 
     # carry chain: y_k = P_k + c_{k-1}·d_fwd; c_k = y_k[last] (d_fwd's last
-    # entry is a^TB, so reading the updated block row gives the next carry)
+    # entry is a^tb_iir, so reading the updated block row gives the next
+    # carry)
     def fwd_body(kb, carry):
-        fwd_dot(pl.multiple_of(jnp.minimum(kb + 1, n_tb - 1) * _TB, _TB))
-        start = pl.multiple_of(kb * _TB, _TB)
-        yb = y_ref[pl.ds(start, _TB), :] + carry * d_fwd
-        y_ref[pl.ds(start, _TB), :] = yb
-        return jax.lax.slice_in_dim(yb, _TB - 1, _TB, axis=0)
+        fwd_dot(pl.multiple_of(jnp.minimum(kb + 1, nti - 1) * ti, ti))
+        start = pl.multiple_of(kb * ti, ti)
+        yb = y_ref[pl.ds(start, ti), :] + carry * d_fwd
+        y_ref[pl.ds(start, ti), :] = yb
+        return jax.lax.slice_in_dim(yb, ti - 1, ti, axis=0)
 
     carry0 = jnp.zeros((1, _FT), jnp.float32)
-    jax.lax.fori_loop(0, n_tb, fwd_body, carry0)
+    jax.lax.fori_loop(0, nti, fwd_body, carry0)
 
     def bwd_dot(start):
-        yb = y_ref[pl.ds(start, _TB), :]
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        yb = y_ref[pl.ds(start, ti), :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ti, _FT), 0) + start
         yb = jnp.where(ridx == t_real - 1, yb * jnp.float32(1.0 / b), yb)
         yb = jnp.where(ridx > t_real - 1, 0.0, yb)
-        mask_ref[0, pl.ds(start, _TB), :] = jnp.dot(
+        mask_ref[0, pl.ds(start, ti), :] = jnp.dot(
             lt_ref[...], yb, preferred_element_type=jnp.float32,
             precision=prec,
         )
 
-    bwd_dot(pl.multiple_of((n_tb - 1) * _TB, _TB))
+    bwd_dot(pl.multiple_of((nti - 1) * ti, ti))
 
     def bwd_body(k, carry):
-        kb = n_tb - 1 - k
-        bwd_dot(pl.multiple_of(jnp.maximum(kb - 1, 0) * _TB, _TB))
-        start = pl.multiple_of(kb * _TB, _TB)
-        wb = mask_ref[0, pl.ds(start, _TB), :] + carry * d_bwd
+        kb = nti - 1 - k
+        bwd_dot(pl.multiple_of(jnp.maximum(kb - 1, 0) * ti, ti))
+        start = pl.multiple_of(kb * ti, ti)
+        wb = mask_ref[0, pl.ds(start, ti), :] + carry * d_bwd
         nxt = jax.lax.slice_in_dim(wb, 0, 1, axis=0)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (_TB, _FT), 0) + start
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ti, _FT), 0) + start
         mb = mag_at(start)
         safe_w = jnp.where(wb == 0.0, 1.0, wb)
         ratio = (mb - wb) / safe_w
         mask = jax.nn.sigmoid((ratio - jnp.float32(thresh)) * jnp.float32(slope))
         mask = jnp.where(ridx < t_real, mask, 0.0)
         if vt is None:
-            mask_ref[0, pl.ds(start, _TB), :] = mask
+            mask_ref[0, pl.ds(start, ti), :] = mask
         else:
-            y_ref[pl.ds(start, _TB), :] = mask
+            y_ref[pl.ds(start, ti), :] = mask
         return nxt
 
-    jax.lax.fori_loop(0, n_tb, bwd_body, carry0)
+    jax.lax.fori_loop(0, nti, bwd_body, carry0)
 
     # ---- phase 4: blockwise time-axis triangular smoothing ---------------
     if vt is not None:
-        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
+        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt,
+                           mm=direct, prec=prec)
 
 
 def _as_kernel(
@@ -545,7 +582,8 @@ def _as_kernel(
     jax.lax.fori_loop(0, n_tb, mask_body, 0)
 
     if vt is not None:
-        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
+        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt,
+                           mm=direct, prec=prec)
 
 
 def _mt_kernel(
@@ -626,7 +664,8 @@ def _mt_kernel(
             return 0
 
         jax.lax.fori_loop(0, n_tb, copy_body, 0)
-        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt)
+        _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt,
+                           mm=direct, prec=prec)
 
 
 def _spectra_kernel(
@@ -651,7 +690,7 @@ def _spectra_kernel(
 def _apply_istft_kernel(
     re_ref, im_ref, mask_ref, ci_ref, si_ref, out_ref,
     *, n_tb, n_tiles, r, hop, bin0_base, col_dc, n_bins, post, core=_CORE,
-    prec=_HIGHEST, inv=None, direct=False,
+    prec=_HIGHEST, inv=None, direct=False, oacc_ref=None,
 ):
     """One (chunk, F-tile) cell: out_block[m] = iDFT_hop(sum_k tw'_k·Y[m-k])
     with Y = HannStencil(Z_w·mask)·win_sum computed on the fly per (_TB+8)-row
@@ -660,11 +699,16 @@ def _apply_istft_kernel(
     j = pl.program_id(1)
     bin0 = bin0_base + j * core
 
+    H = 8  # lookback rows (covers k <= r-1 <= 7)
+    # fast path: accumulate the OLA in a dedicated f32 VMEM plane and write
+    # the (bf16) HBM output once, in the last tile's epilogue — halves the
+    # OLA plane's HBM write and the tail read
+    acc_ref = oacc_ref if oacc_ref is not None else out_ref
+
     @pl.when(j == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    H = 8  # lookback rows (covers k <= r-1 <= 7)
     if direct:
         # ---- direct synthesis variant (bf16 fast path): per shift k, the
         # MASKED spectra (un-rewindowed) hit _direct_idft_consts_np matrices
@@ -706,7 +750,7 @@ def _apply_istft_kernel(
                     u, dcs[k], preferred_element_type=jnp.float32,
                     precision=prec,
                 )
-            out_ref[0, pl.ds(s, _TB), :] = out_ref[0, pl.ds(s, _TB), :] + acc
+            acc_ref[0, pl.ds(s, _TB), :] = acc_ref[0, pl.ds(s, _TB), :] + acc
             return (
                 jax.lax.slice_in_dim(cur_re, _TB - H, _TB, axis=0),
                 jax.lax.slice_in_dim(cur_im, _TB - H, _TB, axis=0),
@@ -768,19 +812,20 @@ def _apply_istft_kernel(
         )
         jax.lax.fori_loop(0, n_tb, body, carry0)
 
-    if inv is not None:
-        # OLA-envelope division folded into the kernel: after the LAST
-        # tile's contributions land, scale the accumulated hop-block rows
-        # by the trace-time 1/norm plane (saves XLA a full read+write pass
-        # over the output). The grid iterates j innermost, so j ==
-        # n_tiles-1 sees the completed accumulation for this chunk.
+    if inv is not None or oacc_ref is not None:
+        # OLA-envelope division (and, on the fast path, the single cast
+        # from the f32 accumulator into the bf16 HBM output) folded into
+        # the kernel: runs after the LAST tile's contributions land (saves
+        # XLA a full read+write pass over the output). The grid iterates j
+        # innermost, so j == n_tiles-1 sees the completed accumulation.
         @pl.when(pl.program_id(1) == n_tiles - 1)
         def _():
             def scale_body(tb, _):
                 s = pl.multiple_of(tb * _TB, _TB)
-                out_ref[0, pl.ds(s, _TB), :] = (
-                    out_ref[0, pl.ds(s, _TB), :] * inv[0, pl.ds(s, _TB), :]
-                )
+                rowsv = acc_ref[0, pl.ds(s, _TB), :]
+                if inv is not None:
+                    rowsv = rowsv * inv[0, pl.ds(s, _TB), :]
+                out_ref[0, pl.ds(s, _TB), :] = rowsv.astype(out_ref.dtype)
                 return 0
 
             t_pad = out_ref.shape[1]

@@ -268,7 +268,13 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
         pltpu.VMEM((nb_pad, hop), jnp.float32),    # hop blocks (DMA'd per i)
         pltpu.SemaphoreType.DMA(()),
     ]
-    out_shape = jax.ShapeDtypeStruct((B, t_pad, hop), jnp.float32)
+    if fast:
+        # f32 OLA accumulator plane; the bf16 HBM output is written once,
+        # in kernel B's last-tile epilogue
+        scratch.append(pltpu.VMEM((1, t_pad, hop), jnp.float32))
+    out_shape = jax.ShapeDtypeStruct(
+        (B, t_pad, hop), jnp.bfloat16 if fast else jnp.float32
+    )
 
     if gate.nonstationary:
         ma_np = _movemean_band_np(gate.n_movemean_nonstationary)
@@ -284,10 +290,11 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
 
         if band_np is None:
             def kernel(b_ref, c_ref, s_ref, ma_ref, ci_ref, si_ref, out_ref,
-                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem, *oacc):
                 mt(b_ref, c_ref[0], s_ref[0], ma_ref, re_s, im_s, mask_s,
                    tc, ts, y_s, bv, sem)
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, ma_spec,
                         idft_spec, idft_spec]
@@ -297,11 +304,12 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
             )
         else:
             def kernel(b_ref, c_ref, s_ref, ma_ref, band_ref, ci_ref, si_ref,
-                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem, *oacc):
                 mt(b_ref, c_ref[0], s_ref[0], ma_ref, re_s, im_s, mask_s,
                    tc, ts, y_s, bv, sem)
                 fs(mask_s, band_ref[0])
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, ma_spec, band_spec,
                         idft_spec, idft_spec]
@@ -336,10 +344,11 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
 
         if band_np is None:
             def kernel(b_ref, c_ref, s_ref, t_ref, ci_ref, si_ref, out_ref,
-                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                       re_s, im_s, mask_s, tc, ts, y_s, bv, sem, *oacc):
                 ask(b_ref, c_ref[0], s_ref[0], t_ref[0, 0], re_s, im_s,
                     mask_s, tc, ts, y_s, bv, sem)
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
                         idft_spec, idft_spec]
@@ -349,11 +358,12 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
             )
         else:
             def kernel(b_ref, c_ref, s_ref, t_ref, band_ref, ci_ref, si_ref,
-                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem):
+                       out_ref, re_s, im_s, mask_s, tc, ts, y_s, bv, sem, *oacc):
                 ask(b_ref, c_ref[0], s_ref[0], t_ref[0, 0], re_s, im_s,
                     mask_s, tc, ts, y_s, bv, sem)
                 fs(mask_s, band_ref[0])
-                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref)
+                bk(re_s, im_s, mask_s, ci_ref[0], si_ref[0], out_ref,
+                   oacc_ref=oacc[0] if oacc else None)
 
             in_specs = [blocks_spec, cmat_spec, cmat_spec, thr_spec,
                         band_spec, idft_spec, idft_spec]
@@ -461,7 +471,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
         )
 
         def mt_kernel(b_ref, c_ref, s_ref, band_ref,
-                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem, *oacc):
             mt(b_ref, c_ref[0], s_ref[0], band_ref, re_ref, im_ref, mask_ref,
                tc, ts, y, bv, sem)
 
@@ -502,7 +512,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
         )
 
         def as_kernel(b_ref, c_ref, s_ref, t_ref,
-                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem):
+                      re_ref, im_ref, mask_ref, tc, ts, y, bv, sem, *oacc):
             ask(b_ref, c_ref[0], s_ref[0], t_ref[0, 0], re_ref, im_ref,
                 mask_ref, tc, ts, y, bv, sem)
 

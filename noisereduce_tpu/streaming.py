@@ -4,8 +4,10 @@
 memory: the C++ chunker (utils/io.py → native/nrio.cpp) yields halo'd
 fixed-shape float32 batches that hit one pre-compiled XLA graph, and results
 stream straight to the output WAV. Chunk geometry and gate math are identical
-to the in-memory path (reference semantics, spectralgate/base.py:130-226), so
-outputs match ``reduce_noise`` bit-for-bit in the same dtype.
+to the in-memory path (reference semantics, spectralgate/base.py:130-226):
+outputs match ``reduce_noise`` exactly in float64; in float32 they agree to
+XLA fusion-order rounding (the in-memory path batches all chunks in one
+program, the stream filters them one at a time).
 
 The reference has no file API — its user must load entire recordings into
 memory first. This module is the TPU-native upgrade of its chunked
@@ -231,16 +233,25 @@ def reduce_noise_file(
             )
 
         pending = []
+        in_flight = []  # [(k, device out)] — one deferred sharded launch
 
-        def _flush():
-            k = len(pending)
-            batch = jnp.asarray(np.stack(pending, axis=1))
-            # shard_filter zero-pads a short tail group up to the mesh size
-            out = _filter_batch(batch)
+        def _drain():
+            k, out = in_flight.pop(0)
             core = np.asarray(out[..., padding : padding + chunk_size])
             for j in range(k):  # stream cores to disk in order
                 writer.write(core[:, j, :].T)
+
+        def _flush():
+            batch = jnp.asarray(np.stack(pending, axis=1))
+            # shard_filter zero-pads a short tail group up to the mesh size
+            out = _filter_batch(batch)
+            in_flight.append((len(pending), out))
             pending.clear()
+            # drain the PREVIOUS launch only — its D2H sync overlaps this
+            # launch's device compute, and the next group's disk reads
+            # overlap both
+            if len(in_flight) > 1:
+                _drain()
 
         for _, chunk in chunks_iter:
             pending.append(chunk)
@@ -248,14 +259,26 @@ def reduce_noise_file(
                 _flush()
         if pending:
             _flush()
+        while in_flight:
+            _drain()
         writer.close()
         return n_frames_in
 
+    # one-deep software pipeline: dispatch chunk i asynchronously, read
+    # chunk i+1 from disk (native reader) while the device computes, and
+    # only then synchronize (np.asarray = D2H) and write chunk i. IO and
+    # device compute overlap; writes stay in order; host memory stays at
+    # two chunks (reference semantics are per-chunk independent).
+    prev = None
     for _, chunk in chunks_iter:
         x = jnp.asarray(chunk)  # (channels, view) float32
-        out = _filter(x)
-        # stream each chunk's core straight to disk (constant host memory);
-        # WavWriter trims the final zero-padded tail to n_frames_in
-        writer.write(np.asarray(out[..., padding : padding + chunk_size]).T)
+        out = _filter(x)        # async dispatch
+        if prev is not None:
+            writer.write(
+                np.asarray(prev[..., padding : padding + chunk_size]).T
+            )
+        prev = out
+    if prev is not None:
+        writer.write(np.asarray(prev[..., padding : padding + chunk_size]).T)
     writer.close()
     return n_frames_in

