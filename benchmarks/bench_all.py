@@ -118,10 +118,16 @@ def main():
     log(rows[-1])
 
     # 4c. merged-torch on-device health assertion: the fused TPUGate path
-    # vs the staged jnp path on the same input (VERDICT r2 item 4)
+    # vs the staged jnp path on the same input (VERDICT r2 item 4). The
+    # signal length must sit inside the fused VMEM envelope or both calls
+    # silently take the jnp path and the assertion tests nothing.
     log("running: merged-torch assertion...")
-    y30 = jax.device_put(
-        jnp.asarray(rng.standard_normal((2, SR * 30)), jnp.float32)
+    from noisereduce_tpu.ops.pallas_pipeline import fused_tpugate_supported
+
+    n_probe = SR * 8
+    assert fused_tpugate_supported(gate, n_probe), "probe must route fused"
+    y_probe = jax.device_put(
+        jnp.asarray(rng.standard_normal((2, n_probe)), jnp.float32)
     )
 
     @jax.jit
@@ -130,9 +136,9 @@ def main():
         b = gate(c, method="matmul", use_pallas=False)
         return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
-    d, sc = torch_both(y30)
+    d, sc = torch_both(y_probe)
     rel = float(d) / max(float(sc), 1e-30)
-    assert rel < 5e-3, f"merged torch vs staged rel dev {rel}"
+    assert 0.0 < rel < 5e-3, f"merged torch vs staged rel dev {rel}"
     log(f"merged-torch fused vs staged rel dev: {rel:.2e}")
 
     # 4d. file-to-file streaming (native IO reader + one-deep IO/compute
