@@ -157,7 +157,10 @@ def _measure_tpu(extras):
 
         return forward
 
-    def timeit(fn, y, reps=5):
+    def timeit(fn, y, reps=8):
+        # min over several trials: the remote tunnel adds multi-ms jitter
+        # on top of device time, and only the minimum approaches the true
+        # wall cost of a launch
         float(fn(y))  # compile + warm
         ts = []
         for _ in range(reps):
