@@ -508,6 +508,31 @@ def test_direct_dft_kernels_match_staged_on_quantized_input():
     assert dev <= 1e-2, f"direct gated rel dev {dev:.3e}"
 
 
+def test_direct_stationary_routes_and_bounded():
+    """The stationary gate through the DIRECT bf16 kernels: dtype
+    round-trip intact, deviation bounded by the documented binary-mask
+    envelope (threshold-adjacent bin flips)."""
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+
+    cfg = GateConfig(sr=44100, stationary=True)
+    y32 = jnp.asarray(RNG.standard_normal(30000), jnp.float32)
+    noise = jnp.asarray(RNG.standard_normal(20000), jnp.float32) * 0.5
+    thr = stationary_noise_threshold(noise, cfg, method="matmul",
+                                     use_pallas=False)
+    a = np.asarray(
+        _fused_gate_impl(y32, cfg, interpret=True, noise_thresh=thr),
+        np.float64,
+    )
+    b = np.asarray(
+        _fused_gate_impl(y32.astype(jnp.bfloat16), cfg, interpret=True,
+                         noise_thresh=thr),
+        np.float64,
+    )
+    assert np.all(np.isfinite(b))
+    dev = np.abs(a - b).max()
+    assert dev <= 1.5e-1 * np.abs(a).max()
+
+
 def test_bf16_fast_mode_torch_path():
     """Torch-convention twin of the bf16 routing test: bf16 input keeps the
     TPUGate fused kernels' dtype round-trip and trace intact (single-pass
