@@ -116,10 +116,15 @@ def _roofline_extras(extras, prefix, t_wall, t_launch, fast):
     """Attach roofline_fraction/MFU for a measured headline run."""
     t_mxu, t_hbm, flops, nbytes = _roofline_model(SR * DURATION_S, CHUNK,
                                                   PAD, fast)
-    t_onchip = max(t_wall - t_launch, 1e-9)
-    binding = max(t_mxu, t_hbm)
     extras[f"{prefix}_model_mxu_ms"] = round(t_mxu * 1e3, 2)
     extras[f"{prefix}_model_hbm_ms"] = round(t_hbm * 1e3, 2)
+    if t_wall <= t_launch * 1.05:
+        # a loaded host can inflate the launch probe past the wall time;
+        # an on-chip estimate from that subtraction would be meaningless
+        extras[f"{prefix}_roofline_note"] = "skipped: launch probe >= wall"
+        return
+    t_onchip = t_wall - t_launch
+    binding = max(t_mxu, t_hbm)
     extras[f"{prefix}_roofline_fraction"] = round(binding / t_onchip, 3)
     extras[f"{prefix}_mfu"] = round(flops / t_onchip / _PEAK_BF16_FLOPS, 3)
 
