@@ -158,6 +158,12 @@ def _measure_tpu(extras):
             # In-graph checksum: synchronizing on a 4-byte scalar forces
             # real completion even through remote-execution tunnels where
             # block_until_ready returns early, without timing a huge D2H.
+            # Reshape before reducing: a (1, 46M) single-row lane
+            # reduction runs ~13x off the HBM roofline (~3 ms of pure
+            # measurement artifact); as (rows, 4096) it reads at
+            # ~bandwidth (~0.2 ms).
+            if out.size % 4096 == 0:
+                return jnp.sum(out.reshape(-1, 4096))
             return jnp.sum(out)
 
         return forward
