@@ -32,8 +32,17 @@ DUR = 960
 CHUNK, PAD = 600000, 30000
 
 
+def _checksum(out):
+    # Reshape before reducing: a (1, 46M) single-row lane reduction runs
+    # ~13x off the HBM roofline (~3 ms of pure measurement artifact); as
+    # (rows, 4096) it reads at ~bandwidth (see bench.py).
+    if out.size % 4096 == 0:
+        return jnp.sum(out.reshape(-1, 4096))
+    return jnp.sum(out)
+
+
 def timeit(fn, *args, iters=5):
-    f = jax.jit(lambda *a: jnp.sum(fn(*a)))
+    f = jax.jit(lambda *a: _checksum(fn(*a)))
     float(f(*args))
     best = float("inf")
     for _ in range(iters):

@@ -28,6 +28,7 @@ from noisereduce_tpu.ops.pallas.geometry import (
     _block_idft_consts_np,
     _direct_dft_consts_np,
     _direct_idft_consts_np,
+    _fast_consts_bf16,
     _freq_band_np,
     _geometry,
     _merged_compiler_params,
@@ -83,6 +84,10 @@ def _merged_gate_from_blocks(
         # and the r-fold MXU flops are cheap at single-pass bf16.
         c_np, s_np = _direct_dft_consts_np(scfg, n_tiles, halo, scale)
         ci_np, si_np = _direct_idft_consts_np(scfg, n_tiles, halo, post)
+        if not interpret:
+            c_np, s_np, ci_np, si_np = _fast_consts_bf16(
+                c_np, s_np, ci_np, si_np
+            )
     else:
         c_np, s_np = _block_dft_consts_np(scfg, n_tiles, halo)
         ci_np, si_np = _block_idft_consts_np(scfg, n_tiles, halo)

@@ -13,6 +13,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
@@ -157,6 +158,19 @@ def _direct_idft_consts_np(
                 -wk * np.sin(ang) * wsyn * post / cfg.n_fft
             ) * valid
     return dc.astype(np.float32), ds.astype(np.float32)
+
+
+def _fast_consts_bf16(*arrs):
+    """bf16-truncate direct-kernel const matrices for COMPILED fast-mode
+    dispatch. The fast mode's dots are single-pass Mosaic DEFAULT, which
+    truncates f32 operands to bf16 (round-to-nearest-even) on the way into
+    the MXU anyway — pre-truncating is bit-identical on device and HALVES
+    the matrices' per-grid-cell DMA traffic (they are re-fetched on every
+    (chunk, F-tile) cell). NOT applied in interpret mode, where DEFAULT
+    precision is true f32 and the tests use it as an f32 oracle of the
+    direct transform."""
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    return tuple(a.astype(bf16) for a in arrs)
 
 
 @functools.lru_cache(maxsize=None)

@@ -213,10 +213,13 @@ def _spectra_phases(
         # single-pass bf16 (prec == DEFAULT).
         cs_d = jnp.concatenate([c_ref[...], s_ref[...]], axis=1)
 
-        def direct_body(tb, _):
+        def direct_body(tb, masked):
             sblk = pl.multiple_of(tb * _TB, _TB)
-            window = blocks_ref[pl.ds(sblk, _TB + ext), :].astype(jnp.float32)
-            if bf16_blocks and boundary is not None:
+            # match the consts' dtype (bf16): a bf16 x bf16 DEFAULT dot is
+            # bit-identical to the f32 x f32 DEFAULT dot it replaces (both
+            # feed the MXU bf16-truncated operands)
+            window = blocks_ref[pl.ds(sblk, _TB + ext), :].astype(cs_d.dtype)
+            if masked:
                 # read-time boundary masking (see the DMA prologue): zeros
                 # outside [bpad, bpad + view), which also covers the
                 # un-DMA'd scratch tail (the caller asserts
@@ -245,9 +248,35 @@ def _spectra_phases(
             im_ref[0, pl.ds(sblk, _TB), :] = jax.lax.slice_in_dim(
                 acc, _FT, 2 * _FT, axis=1
             )
-            return 0
 
-        jax.lax.fori_loop(0, n_tb, direct_body, 0)
+        if bf16_blocks and boundary is not None:
+            # Only blocks whose (_TB + ext)-row read window can touch a
+            # position outside [bpad, bpad + view) need the mask — the
+            # first block (head zeros) and the last block(s) (tail zeros +
+            # the un-DMA'd scratch rows). Interior blocks skip the two
+            # iotas + compares + select entirely (statically unrolled head/
+            # tail, one un-masked fori over the interior).
+            bpad, view = boundary
+            head_blocks = 0 if bpad == 0 else -(-bpad // (_TB * hop))
+            tail_from = n_tb
+            for tb in range(n_tb):
+                if (tb * _TB + _TB + ext) * hop > bpad + view:
+                    tail_from = tb
+                    break
+            head_blocks = min(head_blocks, n_tb)
+            tail_from = max(tail_from, head_blocks)
+            for tb in range(head_blocks):
+                direct_body(tb, True)
+            jax.lax.fori_loop(
+                head_blocks, tail_from,
+                lambda tb, c: (direct_body(tb, False), 0)[1], 0,
+            )
+            for tb in range(tail_from, n_tb):
+                direct_body(tb, True)
+        else:
+            jax.lax.fori_loop(
+                0, n_tb, lambda tb, c: (direct_body(tb, False), 0)[1], 0
+            )
         return
 
     # ---- phases 1+2, software-pipelined: the FB dot for block tb+1 issues
@@ -746,8 +775,11 @@ def _apply_istft_kernel(
                     ],
                     axis=1,
                 )
+                # bf16 consts: pre-truncating u matches what the DEFAULT
+                # dot would do to an f32 operand anyway (bit-identical)
                 acc = acc + jnp.dot(
-                    u, dcs[k], preferred_element_type=jnp.float32,
+                    u.astype(dcs[k].dtype), dcs[k],
+                    preferred_element_type=jnp.float32,
                     precision=prec,
                 )
             acc_ref[0, pl.ds(s, _TB), :] = acc_ref[0, pl.ds(s, _TB), :] + acc

@@ -28,6 +28,7 @@ from noisereduce_tpu.ops.pallas.geometry import (
     _block_idft_consts_np,
     _direct_dft_consts_np,
     _direct_idft_consts_np,
+    _fast_consts_bf16,
     _geometry,
     _merged_compiler_params,
     _merged_supported,
@@ -217,6 +218,10 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
         # factorized path's <=1-ulp window approximation too.
         c_np, s_np = _direct_dft_consts_np(scfg, n_tiles, halo, 1.0)
         ci_np, si_np = _direct_idft_consts_np(scfg, n_tiles, halo, 1.0)
+        if not interpret:
+            c_np, s_np, ci_np, si_np = _fast_consts_bf16(
+                c_np, s_np, ci_np, si_np
+            )
     else:
         c_np, s_np = _block_dft_consts_np(scfg, n_tiles, halo)
         ci_np, si_np = _block_idft_consts_np(scfg, n_tiles, halo)
