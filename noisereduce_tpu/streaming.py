@@ -49,6 +49,94 @@ def _noise_threshold(y_noise_mono, cfg, method):
     return stationary_noise_threshold(y_noise_mono, cfg, method=method)
 
 
+@functools.partial(jax.jit, static_argnames=("scfg", "n_frames", "method"))
+def _slab_frames_db(slab, scfg, n_frames, method):
+    """Raw (unfloored) dB magnitudes of ``n_frames`` STFT frames taken from
+    a pre-extended signal slab (frame j at [j*hop, j*hop+win)); mirrors the
+    framing/DFT/scale of ops.stft.stft for the SCIPY convention, minus its
+    boundary handling (the streaming caller assembles the zero-extended
+    slab itself)."""
+    from noisereduce_tpu.ops.dsp import _EPS_F64
+    from noisereduce_tpu.ops.stft import (
+        _analysis_window_np,
+        _rdft_matrices_np,
+        _resolve_method,
+        frame_signal,
+    )
+
+    frames = frame_signal(slab, scfg.frame_length, scfg.hop_length, n_frames)
+    window = jnp.asarray(_analysis_window_np(scfg), dtype=slab.dtype)
+    frames = frames * window
+    if _resolve_method(method) == "matmul":
+        c, s = _rdft_matrices_np(scfg.frame_length, scfg.n_fft)
+        prec = jax.lax.Precision.HIGH
+        re = jnp.matmul(frames, jnp.asarray(c, slab.dtype),
+                        preferred_element_type=jnp.float32, precision=prec)
+        im = jnp.matmul(frames, jnp.asarray(s, slab.dtype),
+                        preferred_element_type=jnp.float32, precision=prec)
+    else:
+        Zc = jnp.fft.rfft(frames, n=scfg.n_fft, axis=-1)
+        re, im = jnp.real(Zc), jnp.imag(Zc)
+    scale = 1.0 / float(_analysis_window_np(scfg).sum())
+    mag = jnp.sqrt(re * re + im * im) * scale
+    return 20.0 * jnp.log10(mag + jnp.asarray(_EPS_F64, mag.dtype))
+
+
+_THRESH_SEG_FRAMES = 4096
+
+
+def _streaming_noise_threshold(path: str, cfg: GateConfig, method: str):
+    """Stationary per-bin threshold over the FULL recording at constant
+    host memory (the ``y_noise=None, clip_noise_stationary=False`` case,
+    where the reference computes noise statistics over the entire signal,
+    stationary.py:47-81).
+
+    Two streamed passes over frame-aligned slabs of the zero-extended mono
+    mix: (1) the per-bin dB max that anchors amp_to_db's top_db=80 floor,
+    (2) mean/std (ddof=0) of the floored dB values, accumulated in float64
+    on host. Matches the in-memory threshold to f32 reduction-order
+    rounding."""
+    _, _, n = nrio.wav_info(path)
+    scfg = cfg.stft
+    win, hop, pad = scfg.frame_length, scfg.hop_length, scfg.boundary_pad
+    n_frames = scfg.n_frames(n)
+    f_seg = min(_THRESH_SEG_FRAMES, n_frames)
+    slab_len = (f_seg - 1) * hop + win
+
+    def slabs():
+        for f0 in range(0, n_frames, f_seg):
+            f1 = min(f0 + f_seg, n_frames)
+            s0 = f0 * hop                     # slab start, extended coords
+            s1 = (f1 - 1) * hop + win
+            y0, y1 = max(0, s0 - pad), min(n, s1 - pad)
+            _, seg = nrio.read_wav(
+                path, dtype="float32", start=y0, frames=max(0, y1 - y0)
+            )
+            mono = seg.mean(axis=1) if seg.ndim == 2 else seg
+            slab = np.zeros(slab_len, np.float32)
+            left = max(0, pad - s0)
+            slab[left : left + mono.shape[0]] = mono
+            yield f1 - f0, jnp.asarray(slab)
+
+    n_bins = scfg.n_bins
+    mx = np.full(n_bins, -np.inf, np.float64)
+    for k, slab in slabs():
+        db = np.asarray(_slab_frames_db(slab, scfg, f_seg, method))[:k]
+        mx = np.maximum(mx, db.max(axis=0))
+    floor = mx - 80.0
+    s1v = np.zeros(n_bins, np.float64)
+    s2v = np.zeros(n_bins, np.float64)
+    for k, slab in slabs():
+        db = np.asarray(_slab_frames_db(slab, scfg, f_seg, method))[:k]
+        db = np.maximum(db.astype(np.float64), floor)
+        s1v += db.sum(axis=0)
+        s2v += (db * db).sum(axis=0)
+    mean = s1v / n_frames
+    var = np.maximum(s2v / n_frames - mean * mean, 0.0)
+    thresh = mean + np.sqrt(var) * cfg.n_std_thresh_stationary
+    return jnp.asarray(thresh, dtype=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("gate", "method"))
 def _chunk_torch(chunk, xn, gate, method):
     out = gate(chunk, xn, method=method)
@@ -116,10 +204,11 @@ def reduce_noise_file(
     """Denoise a WAV file into another WAV file, streaming chunk by chunk.
 
     Returns the number of frames written. Output is PCM16 unless
-    ``as_float``. Stationary self-noise statistics come from the first
-    ``chunk_size`` samples of the mono mix when ``y_noise`` is None —
-    the same samples the in-memory reference path uses
-    (stationary.py:47-64 with clip_noise_stationary).
+    ``as_float``. Stationary self-noise statistics (``y_noise=None``) use
+    the first ``chunk_size`` samples of the mono mix when
+    ``clip_noise_stationary`` (the same samples the in-memory reference
+    path uses, stationary.py:47-64), or the ENTIRE recording when not —
+    streamed in two constant-memory passes over the file.
 
     ``use_torch`` selects the torch-convention gate (TPUGate), mirroring
     ``reduce_noise(use_torch=True)``.
@@ -178,10 +267,16 @@ def reduce_noise_file(
             yn = yn if yn.ndim == 1 else yn.mean(axis=0)
             if clip_noise_stationary:
                 yn = yn[:chunk_size]
-        else:
+            thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
+        elif clip_noise_stationary:
             _, head = nrio.read_wav(in_path, dtype="float32", frames=chunk_size)
             yn = head.mean(axis=1) if head.ndim == 2 else head
-        thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
+            thresh = _noise_threshold(jnp.asarray(yn), cfg, method)
+        else:
+            # reference semantics: statistics over the ENTIRE signal
+            # (stationary.py:47-64 with clip_noise_stationary=False) —
+            # streamed in two constant-memory passes
+            thresh = _streaming_noise_threshold(in_path, cfg, method)
 
     def _filter(x):
         if use_torch:

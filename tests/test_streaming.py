@@ -60,6 +60,78 @@ def test_file_with_noise_clip(tmp_path, wav):
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_file_unclipped_noise_stats_match_in_memory(tmp_path, wav):
+    """clip_noise_stationary=False + y_noise=None: the reference computes
+    noise statistics over the ENTIRE signal (stationary.py:47-64); the
+    streaming path must reproduce that via its two-pass threshold, not the
+    first-chunk approximation."""
+    in_path, y = wav
+    out_path = str(tmp_path / "out.wav")
+    reduce_noise_file(
+        in_path, out_path, stationary=True, clip_noise_stationary=False,
+        chunk_size=20000, padding=3000, as_float=True,
+    )
+    _, got = nrio.read_wav(out_path, dtype="float32")
+    want = nr.reduce_noise(
+        y=y, sr=SR, stationary=True, clip_noise_stationary=False,
+        chunk_size=20000, padding=3000, compute_dtype=np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and it must NOT equal the first-chunk threshold's output (the whole
+    # point): re-run with clipping on and check they differ
+    out2 = str(tmp_path / "out2.wav")
+    reduce_noise_file(
+        in_path, out2, stationary=True, clip_noise_stationary=True,
+        chunk_size=20000, padding=3000, as_float=True,
+    )
+    _, got_clip = nrio.read_wav(out2, dtype="float32")
+    assert np.max(np.abs(got_clip - got)) > 1e-6
+
+
+def test_streaming_threshold_matches_in_memory(tmp_path, wav):
+    """The two-pass streamed threshold equals stationary_noise_threshold
+    on the full mono mix (f32 reduction-order rounding)."""
+    import jax.numpy as jnp
+
+    from noisereduce_tpu.config import Convention, GateConfig
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+    from noisereduce_tpu.streaming import _streaming_noise_threshold
+
+    in_path, y = wav
+    cfg = GateConfig(sr=SR, stationary=True, convention=Convention.SCIPY)
+    want = np.asarray(
+        stationary_noise_threshold(jnp.asarray(y, jnp.float32), cfg)
+    )
+    got = np.asarray(_streaming_noise_threshold(in_path, cfg, "auto"))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_streaming_threshold_many_segments(tmp_path):
+    """Segment boundaries (multiple slabs incl. a short tail) are exact."""
+    import jax.numpy as jnp
+
+    import noisereduce_tpu.streaming as st
+    from noisereduce_tpu.config import Convention, GateConfig
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+
+    rng = np.random.default_rng(11)
+    n = 40000
+    y = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    p = str(tmp_path / "seg.wav")
+    nrio.write_wav(p, y, SR, as_float=True)
+    cfg = GateConfig(sr=SR, stationary=True, convention=Convention.SCIPY)
+    want = np.asarray(
+        stationary_noise_threshold(jnp.asarray(y, jnp.float32), cfg)
+    )
+    orig = st._THRESH_SEG_FRAMES
+    st._THRESH_SEG_FRAMES = 17  # force many slabs + ragged tail
+    try:
+        got = np.asarray(st._streaming_noise_threshold(p, cfg, "auto"))
+    finally:
+        st._THRESH_SEG_FRAMES = orig
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
 def test_cli_end_to_end(tmp_path, wav):
     in_path, _ = wav
     out_path = str(tmp_path / "cli_out.wav")
