@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-fft", type=int, default=1024)
     p.add_argument("--win-length", type=int, default=None)
     p.add_argument("--hop-length", type=int, default=None)
+    p.add_argument("--no-clip-noise", action="store_false",
+                   dest="clip_noise_stationary",
+                   help="stationary self-noise statistics over the ENTIRE "
+                        "recording (two streamed passes) instead of the "
+                        "first chunk (clip_noise_stationary=False)")
+    p.add_argument("--progress", action="store_true", dest="use_tqdm",
+                   help="tqdm progress bar over chunks")
     p.add_argument("--torch-convention", action="store_true", dest="use_torch",
                    help="use the torch-convention gate (TPUGate semantics)")
     p.add_argument("--float", action="store_true", dest="as_float",
@@ -93,7 +100,9 @@ def main(argv=None) -> int:
         n_fft=args.n_fft,
         win_length=args.win_length,
         hop_length=args.hop_length,
+        clip_noise_stationary=args.clip_noise_stationary,
         as_float=args.as_float,
+        use_tqdm=args.use_tqdm,
         use_torch=args.use_torch,
     )
     dt = time.perf_counter() - t0

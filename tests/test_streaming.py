@@ -148,6 +148,25 @@ def test_cli_end_to_end(tmp_path, wav):
     assert np.all(np.isfinite(got))
 
 
+def test_cli_no_clip_noise_and_progress(tmp_path, wav):
+    in_path, y = wav
+    out_path = str(tmp_path / "cli_unclipped.wav")
+    proc = subprocess.run(
+        [sys.executable, "-m", "noisereduce_tpu", in_path, out_path,
+         "--stationary", "--no-clip-noise", "--progress",
+         "--chunk-size", "20000", "--padding", "3000", "--float"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    _, got = nrio.read_wav(out_path, dtype="float32")
+    want = nr.reduce_noise(
+        y=y, sr=SR, stationary=True, clip_noise_stationary=False,
+        chunk_size=20000, padding=3000, compute_dtype=np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_short_file_matches_in_memory_nonstationary(tmp_path, wav):
     """Files shorter than chunk_size must take the same unchunked fast path
     as reduce_noise (the IIR floor is global over frames, so a zero-extended
