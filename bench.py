@@ -320,8 +320,33 @@ def _measure_reference_cpu_rtf():
     return REF_DURATION_S / dt
 
 
+def _require_device(timeout_s: float = 600.0):
+    """Fail loudly (exit 2) if device init hangs — a dead remote-execution
+    tunnel otherwise blocks forever and the driver records nothing."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(
+            f"bench: device init did not complete within {timeout_s:.0f}s "
+            "(remote TPU tunnel unreachable?) — aborting instead of hanging",
+            file=sys.stderr,
+        )
+        os._exit(2)
+
+
 def main():
     extras = {}
+    _require_device()
     rtf = _measure_tpu(extras)
     ref_rtf = _measure_reference_cpu_rtf()
     vs = rtf / ref_rtf if ref_rtf else rtf / 1000.0  # fall back to north-star
