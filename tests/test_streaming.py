@@ -88,9 +88,11 @@ def test_file_unclipped_noise_stats_match_in_memory(tmp_path, wav):
     assert np.max(np.abs(got_clip - got)) > 1e-6
 
 
-def test_streaming_threshold_matches_in_memory(tmp_path, wav):
+@pytest.mark.parametrize("method", ["fft", "matmul"])
+def test_streaming_threshold_matches_in_memory(tmp_path, wav, method):
     """The two-pass streamed threshold equals stationary_noise_threshold
-    on the full mono mix (f32 reduction-order rounding)."""
+    on the full mono mix (f32 reduction-order rounding), on both DFT
+    backends."""
     import jax.numpy as jnp
 
     from noisereduce_tpu.config import Convention, GateConfig
@@ -100,9 +102,11 @@ def test_streaming_threshold_matches_in_memory(tmp_path, wav):
     in_path, y = wav
     cfg = GateConfig(sr=SR, stationary=True, convention=Convention.SCIPY)
     want = np.asarray(
-        stationary_noise_threshold(jnp.asarray(y, jnp.float32), cfg)
+        stationary_noise_threshold(
+            jnp.asarray(y, jnp.float32), cfg, method=method
+        )
     )
-    got = np.asarray(_streaming_noise_threshold(in_path, cfg, "auto"))
+    got = np.asarray(_streaming_noise_threshold(in_path, cfg, method))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
 
 
