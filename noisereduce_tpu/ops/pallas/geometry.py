@@ -163,9 +163,10 @@ def _direct_idft_consts_np(
 def _fast_consts_bf16(*arrs):
     """bf16-truncate direct-kernel const matrices for COMPILED fast-mode
     dispatch. The fast mode's dots are single-pass Mosaic DEFAULT, which
-    truncates f32 operands to bf16 (round-to-nearest-even) on the way into
-    the MXU anyway — pre-truncating is bit-identical on device and HALVES
-    the matrices' per-grid-cell DMA traffic (they are re-fetched on every
+    reduces f32 operands to bf16 on the way into the MXU anyway —
+    pre-truncating (RNE) is designed to be a device no-op
+    (benchmarks/check_bf16_consts.py verifies on-chip) and HALVES the
+    matrices' per-grid-cell DMA traffic (they are re-fetched on every
     (chunk, F-tile) cell). NOT applied in interpret mode, where DEFAULT
     precision is true f32 and the tests use it as an f32 oracle of the
     direct transform."""
