@@ -110,6 +110,30 @@ def test_streaming_threshold_matches_in_memory(tmp_path, wav, method):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
 
 
+def test_file_stereo_unclipped_stats(tmp_path):
+    """Stereo file + whole-recording stats: the streamed threshold must
+    collapse channels to the mono mean exactly like the in-memory path."""
+    rng = np.random.default_rng(9)
+    t = np.arange(N) / SR
+    y = np.stack([
+        0.4 * np.sin(2 * np.pi * 440 * t) + rng.standard_normal(N) * 0.1,
+        0.3 * np.sin(2 * np.pi * 660 * t) + rng.standard_normal(N) * 0.1,
+    ]).astype(np.float32)
+    in_path = str(tmp_path / "stereo.wav")
+    nrio.write_wav(in_path, y.T, SR, as_float=True)
+    out_path = str(tmp_path / "stereo_out.wav")
+    reduce_noise_file(
+        in_path, out_path, stationary=True, clip_noise_stationary=False,
+        chunk_size=20000, padding=3000, as_float=True,
+    )
+    _, got = nrio.read_wav(out_path, dtype="float32")
+    want = nr.reduce_noise(
+        y=y, sr=SR, stationary=True, clip_noise_stationary=False,
+        chunk_size=20000, padding=3000, compute_dtype=np.float32,
+    )
+    np.testing.assert_allclose(got.T, want, atol=2e-5)
+
+
 def test_streaming_threshold_many_segments(tmp_path):
     """Segment boundaries (multiple slabs incl. a short tail) are exact."""
     import jax.numpy as jnp
