@@ -410,6 +410,11 @@ MERGED_CASES = [
      dict(freq_mask_smooth_hz=None)),
     ("nonstat-prop", False, 30000, 44100, dict(prop_decrease=0.6)),
     ("stationary-default", True, 30000, 44100, {}),
+    # multi-F-tile geometry (n_bins 1025 -> several 128-lane tiles) and
+    # the r=2 hop factorization: guard the tile/halo bookkeeping edges
+    ("nonstat-nfft-2048", False, 30000, 44100, dict(n_fft=2048)),
+    ("nonstat-r2-hop", False, 30000, 44100,
+     dict(n_fft=1024, hop_length=512)),
 ]
 
 
