@@ -8,7 +8,9 @@ from scipy.io import wavfile
 from noisereduce_tpu.utils import io as nrio
 from noisereduce_tpu.parallel.chunking import extract_chunks
 
-FISH = "/root/reference/assets/fish.wav"
+# Owned recording (same 44.1 kHz mono int16 200,542-frame shape as the
+# reference's assets/fish.wav) — the suite runs standalone, zero skips.
+FISH = os.path.join(os.path.dirname(__file__), "..", "assets", "speech.wav")
 
 pytestmark = pytest.mark.skipif(
     not nrio.native_available(), reason="libnrio.so not built (make -C native)"
