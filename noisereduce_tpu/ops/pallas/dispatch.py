@@ -143,7 +143,7 @@ def _merged_gate_from_blocks(
         (1, t_pad, hop), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
     )
 
-    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    blocks_spec = pl.BlockSpec(memory_space=pl.ANY)
     cmat_spec = pl.BlockSpec(
         (1, c_np.shape[1], _FT), lambda i, j: (j, 0, 0),
         memory_space=pltpu.VMEM,
@@ -529,7 +529,7 @@ def _fused_stft_planes(x, scfg, interpret):
         spectra_kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, hop, _FT), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hop, _FT), lambda i, j: (j, 0, 0),
@@ -638,7 +638,7 @@ def _fused_gate_from_blocks(
     prec = jax.lax.Precision.DEFAULT if fast else _HIGHEST
 
     # ---- kernel AM ----------------------------------------------------------
-    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    blocks_spec = pl.BlockSpec(memory_space=pl.ANY)
     cmat_spec = pl.BlockSpec(
         (1, hop, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
     )

@@ -248,7 +248,7 @@ def _merged_torch_impl(x, xn, gate, interpret, freq_taps, vt):
         prec=prec,
     )
 
-    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    blocks_spec = pl.BlockSpec(memory_space=pl.ANY)
     cmat_spec = pl.BlockSpec(
         (1, c_np.shape[1], _FT), lambda i, j: (j, 0, 0),
         memory_space=pltpu.VMEM,
@@ -438,7 +438,7 @@ def _fused_torch_impl(x, xn, gate, interpret):
     col_dc = _HALO - 1
     bin0_base = -_HALO
 
-    blocks_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    blocks_spec = pl.BlockSpec(memory_space=pl.ANY)
     cmat_spec = pl.BlockSpec(
         (1, hop, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
     )
