@@ -10,7 +10,7 @@ Public surface:
     TPUGate                    — differentiable gate module (torch conventions)
     band_limited_noise, fftnoise, int16_to_float32, float32_to_int16
 """
-from noisereduce_tpu.api import reduce_noise
+from noisereduce_tpu.api import reduce_noise, reduce_noise_batch
 from noisereduce_tpu.config import GateConfig, StftConfig, Convention
 from noisereduce_tpu.models.tpu_gate import TPUGate
 from noisereduce_tpu.streaming import reduce_noise_file
@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "reduce_noise",
+    "reduce_noise_batch",
     "reduce_noise_file",
     "TPUGate",
     "GateConfig",

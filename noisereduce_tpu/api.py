@@ -41,7 +41,7 @@ from noisereduce_tpu.parallel.chunking import (
     process_chunked,
 )
 
-__all__ = ["reduce_noise"]
+__all__ = ["reduce_noise", "reduce_noise_batch"]
 
 
 # ---------------------------------------------------------------------------
@@ -568,3 +568,80 @@ def _reduce_noise_torch_path(
         y2d, yn, gate, chunk_size, padding, method, mesh, axis_name,
         max_parallel_chunks, use_pallas,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched serving entry point
+# ---------------------------------------------------------------------------
+def reduce_noise_batch(ys, sr, y_noise=None, **kwargs):
+    """Denoise MANY mono recordings in as few device launches as possible.
+
+    Serving-shaped front end over :func:`reduce_noise`: signals are grouped
+    by (length, dtype) and each group runs as ONE batched launch — the gate
+    math is row-independent, so each signal's output is exactly what the
+    per-signal call produces, while per-launch overhead (the dominant cost
+    for short clips; see BASELINE.md's batch-4 row) amortizes across the
+    group. The reference has no batch entry point — its joblib pool
+    (spectralgate/base.py:206-216) parallelizes chunks of one recording,
+    not independent recordings.
+
+    Parameters
+    ----------
+    ys : sequence of 1-D np.ndarray
+        mono recordings; lengths and dtypes may differ (equal lengths batch
+        together — a production loop that segments streams into fixed-size
+        clips gets one launch per dtype)
+    sr : int
+        shared sample rate
+    y_noise : np.ndarray or sequence or None
+        a single shared noise clip (stationary mode: one threshold, still
+        batched), or one clip per signal (per-signal thresholds: processed
+        per signal), or None
+    **kwargs :
+        forwarded to :func:`reduce_noise`. Note ``stationary=True`` with
+        ``y_noise=None`` derives each signal's threshold from itself, so
+        rows cannot share a batched launch; that combination (and
+        per-signal noise clips) falls back to per-signal calls.
+
+    Returns a list of np.ndarray in input order, each with its input's
+    shape and dtype.
+    """
+    ys = [np.asarray(y) for y in ys]
+    for i, y in enumerate(ys):
+        if y.ndim != 1:
+            raise ValueError(
+                f"ys[{i}] has ndim {y.ndim}; reduce_noise_batch takes mono "
+                "1-D signals (call reduce_noise directly for multichannel)"
+            )
+    per_signal_noise = (
+        y_noise is not None
+        and not isinstance(y_noise, np.ndarray)
+        and isinstance(y_noise, (list, tuple))
+    )
+    if per_signal_noise and len(y_noise) != len(ys):
+        raise ValueError(
+            f"got {len(y_noise)} noise clips for {len(ys)} signals"
+        )
+    stationary = bool(kwargs.get("stationary", False))
+    batchable = not (
+        stationary and (per_signal_noise or y_noise is None)
+    )
+
+    out: list = [None] * len(ys)
+    if not batchable:
+        # per-signal noise statistics: thresholds differ per row, so the
+        # launches do too
+        for i, y in enumerate(ys):
+            yn = y_noise[i] if per_signal_noise else None
+            out[i] = reduce_noise(y=y, sr=sr, y_noise=yn, **kwargs)
+        return out
+
+    groups: dict = {}
+    for i, y in enumerate(ys):
+        groups.setdefault((y.shape[0], y.dtype), []).append(i)
+    for (_, _), idx in groups.items():
+        block = np.stack([ys[i] for i in idx])  # (B, n)
+        res = reduce_noise(y=block, sr=sr, y_noise=y_noise, **kwargs)
+        for row, i in enumerate(idx):
+            out[i] = res[row]
+    return out
