@@ -173,6 +173,21 @@ def main():
                  DUR / best))
     log(rows[-1])
 
+    # 4e. batch serving (reduce_noise_batch's device path): many short
+    # clips grouped into ONE launch — the shape a serving loop sees. 32
+    # clips x 15 s = 480 audio-sec per launch.
+    log("running: batch serving...")
+    n_clip = SR * 15
+    yb = jax.device_put(
+        jnp.asarray(rng.standard_normal((32, n_clip)), jnp.float32)
+    )
+    rows.append((
+        "batch serving (32 x 15 s clips, one launch)",
+        (32 * 15) / timeit(nonstat, yb),
+    ))
+    log(rows[-1])
+    del yb
+
     # 5. TPUGate training step (notebook-3.0): fwd+bwd through the gate.
     # Two batch sizes: 16 (the round-1 workload — dominated by the ~31 ms
     # remote-launch overhead of this environment) and 256 (saturates the
