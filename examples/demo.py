@@ -7,6 +7,16 @@ Run: python examples/demo.py [path/to/audio.wav]
 import os
 import sys
 
+# runnable as a script from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Honor JAX_PLATFORMS even when a sitecustomize pre-registered another
+# platform (plugin registration can override the env var contract).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 import noisereduce_tpu as nr
@@ -48,7 +58,7 @@ def main():
     gate = nr.TPUGate(sr=rate, nonstationary=True)
     batch = jnp.asarray(noisy[: rate * 2])[None]
     grads = jax.grad(lambda x: jnp.mean(gate(x) ** 2))(batch)
-    print(f"TPUGate grad norm through the gate: {float(jnp.linalg.norm(grads)):.4f}")
+    print(f"TPUGate grad norm through the gate: {float(jnp.linalg.norm(grads)):.3e}")
 
 
 if __name__ == "__main__":

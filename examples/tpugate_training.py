@@ -17,6 +17,19 @@ Walkthrough structure:
      minimize reconstruction error against the clean targets
   4. show the trained front-end beats the zero-shot gate
 """
+import os
+import sys
+
+# runnable as a script from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Honor JAX_PLATFORMS even when a sitecustomize pre-registered another
+# platform (plugin registration can override the env var contract).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 import jax
