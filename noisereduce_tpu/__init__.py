@@ -21,7 +21,17 @@ from noisereduce_tpu.utils.noise import (
     fftnoise,
 )
 
-__version__ = "0.1.0"
+# Single-sourced from the installed distribution metadata (pyproject.toml,
+# the reference's setup.py:9 counterpart). The literal fallback covers
+# uninstalled source checkouts and is pinned == pyproject.toml by
+# tests/test_utils.py::test_version_single_source.
+try:
+    from importlib.metadata import PackageNotFoundError as _PkgNotFound
+    from importlib.metadata import version as _dist_version
+
+    __version__ = _dist_version("noisereduce-tpu")
+except _PkgNotFound:  # running from a source checkout
+    __version__ = "0.4.0"
 
 __all__ = [
     "reduce_noise",

