@@ -47,10 +47,14 @@ __all__ = ["reduce_noise", "reduce_noise_batch"]
 # ---------------------------------------------------------------------------
 # jitted pipeline entry points (config objects are static)
 # ---------------------------------------------------------------------------
-def _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
-    """Whole-body fused chunked path: one launch, hop blocks gathered
-    straight from the padded signal (no chunk-view materialization)."""
-    if use_pallas is False or mesh is not None or mpc:
+def _fused_chunked_ok(
+    cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas, interpret=False
+):
+    """Whole-body fused chunked path: hop blocks gathered straight from the
+    padded signal (no chunk-view materialization), one launch — sharded
+    over ``mesh`` and/or scanned in ``max_parallel_chunks`` groups when
+    requested (the same kernels run per shard/group)."""
+    if use_pallas is False:
         return False
     if y2d.dtype not in (jnp.float32, jnp.bfloat16):
         return False
@@ -59,7 +63,11 @@ def _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
     from noisereduce_tpu.models.spectral_gate import _tpu_available
     from noisereduce_tpu.ops.pallas_pipeline import fused_gate_supported
 
-    wanted = use_pallas is True or (use_pallas == "auto" and _tpu_available())
+    wanted = (
+        use_pallas is True
+        or interpret
+        or (use_pallas == "auto" and _tpu_available())
+    )
     smoothing = cfg.smoothing
     n_grad_time = smoothing[1] if smoothing else 0
     return wanted and fused_gate_supported(
@@ -67,25 +75,39 @@ def _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
     )
 
 
+def _fused_interpret() -> bool:
+    """Test/dryrun hook: NRTPU_FUSED_INTERPRET=1 forces the fused chunked
+    path in Pallas interpret mode so CPU meshes exercise the exact
+    production composition (the Mosaic kernels execute as jax ops).
+    Read once per jit trace (it is a static argument of the entry points)."""
+    import os
+
+    return os.environ.get("NRTPU_FUSED_INTERPRET", "") == "1"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
-        "use_pallas",
+        "use_pallas", "interpret",
     ),
 )
 def _run_stationary(
     y2d, y_noise_mono, cfg, chunk_size, padding, method, mesh=None,
-    axis_name="chunks", mpc=0, use_pallas="auto",
+    axis_name="chunks", mpc=0, use_pallas="auto", interpret=False,
 ):
     thresh = stationary_noise_threshold(
         y_noise_mono, cfg, method=method, use_pallas=use_pallas
     )
-    if _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
+    if _fused_chunked_ok(
+        cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas, interpret
+    ):
         from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
 
         return fused_gate_chunked(
-            y2d, cfg, chunk_size, padding, noise_thresh=thresh
+            y2d, cfg, chunk_size, padding, noise_thresh=thresh,
+            interpret=interpret, mesh=mesh, axis_name=axis_name,
+            max_parallel_chunks=mpc,
         )
     fn = lambda c, t: gate_stationary(
         c, t, cfg, method=method, use_pallas=use_pallas
@@ -100,17 +122,22 @@ def _run_stationary(
     jax.jit,
     static_argnames=(
         "cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
-        "use_pallas",
+        "use_pallas", "interpret",
     ),
 )
 def _run_nonstationary(
     y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks",
-    mpc=0, use_pallas="auto",
+    mpc=0, use_pallas="auto", interpret=False,
 ):
-    if _fused_chunked_ok(cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas):
+    if _fused_chunked_ok(
+        cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas, interpret
+    ):
         from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
 
-        return fused_gate_chunked(y2d, cfg, chunk_size, padding)
+        return fused_gate_chunked(
+            y2d, cfg, chunk_size, padding, interpret=interpret, mesh=mesh,
+            axis_name=axis_name, max_parallel_chunks=mpc,
+        )
     fn = lambda c: gate_nonstationary(c, cfg, method=method, use_pallas=use_pallas)
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
@@ -472,6 +499,7 @@ def reduce_noise(
             out = _run_stationary(
                 y2d, yn_mono, cfg, chunk_size, padding, method, mesh,
                 axis_name, max_parallel_chunks, use_pallas,
+                _fused_interpret(),
             )
     else:
         cfg = GateConfig(
@@ -496,7 +524,7 @@ def reduce_noise(
         else:
             out = _run_nonstationary(
                 y2d, cfg, chunk_size, padding, method, mesh, axis_name,
-                max_parallel_chunks, use_pallas,
+                max_parallel_chunks, use_pallas, _fused_interpret(),
             )
 
     out = np.asarray(out).astype(out_dtype)

@@ -777,7 +777,8 @@ def _fused_gate_from_blocks(
 
 def fused_gate_chunked(
     y2d, cfg, chunk_size: int, padding: int, noise_thresh=None,
-    interpret: bool = False,
+    interpret: bool = False, mesh=None, axis_name: str = "chunks",
+    max_parallel_chunks: int = 0,
 ):
     """The whole chunked scipy-engine body — extract + gate + assemble
     (reference base.py:144-226 semantics) — with the hop blocks gathered
@@ -792,28 +793,47 @@ def fused_gate_chunked(
     output's position 0 is the chunk view's first sample (scipy's istft
     trim equals the boundary pad), so the assembled core is rows
     [padding, padding + chunk_size).
+
+    ``mesh`` shards the chunk axis over devices with ``jax.shard_map`` —
+    each device runs the SAME fused kernels on its local chunks (halo
+    recompute, zero collectives; the multi-chip twin of the reference's
+    joblib pool, base.py:206-216). ``max_parallel_chunks`` bounds the
+    simultaneously-resident chunk count (per device under a mesh) via an
+    in-graph ``lax.map`` over chunk groups. Per-chunk numerics are
+    identical either way — chunks are independent by construction.
     """
     return _fused_chunked_cvjp(
-        y2d, noise_thresh, cfg, chunk_size, padding, interpret
+        y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh,
+        axis_name, max_parallel_chunks,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fused_chunked_cvjp(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _fused_chunked_cvjp(
+    y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh, axis_name,
+    mpc,
+):
     return _fused_chunked_impl(
-        y2d, noise_thresh, cfg, chunk_size, padding, interpret
+        y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh,
+        axis_name, mpc,
     )
 
 
-def _fused_chunked_fwd(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
+def _fused_chunked_fwd(
+    y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh, axis_name,
+    mpc,
+):
     # fused-primal + staged-backward (see _fused_gate_fwd)
     out = _fused_chunked_impl(
-        y2d, noise_thresh, cfg, chunk_size, padding, interpret
+        y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh,
+        axis_name, mpc,
     )
     return out, (y2d, noise_thresh)
 
 
-def _fused_chunked_bwd(cfg, chunk_size, padding, interpret, res, g):
+def _fused_chunked_bwd(
+    cfg, chunk_size, padding, interpret, mesh, axis_name, mpc, res, g
+):
     from noisereduce_tpu.models.spectral_gate import (
         _gate_nonstationary_jnp, _gate_stationary_jnp,
     )
@@ -824,7 +844,8 @@ def _fused_chunked_bwd(cfg, chunk_size, padding, interpret, res, g):
         def run(y):
             return process_chunked(
                 lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"),
-                y, chunk_size, padding,
+                y, chunk_size, padding, mesh=mesh, axis_name=axis_name,
+                max_parallel_chunks=mpc,
             )
 
         _, vjp_fn = jax.vjp(run, y2d)
@@ -833,7 +854,8 @@ def _fused_chunked_bwd(cfg, chunk_size, padding, interpret, res, g):
     def run(y, t):
         return process_chunked(
             lambda c, tt: _gate_stationary_jnp(c, tt, cfg, "matmul"),
-            y, chunk_size, padding, extra=(t,),
+            y, chunk_size, padding, mesh=mesh, axis_name=axis_name,
+            extra=(t,), max_parallel_chunks=mpc,
         )
 
     _, vjp_fn = jax.vjp(run, y2d, noise_thresh)
@@ -843,7 +865,10 @@ def _fused_chunked_bwd(cfg, chunk_size, padding, interpret, res, g):
 _fused_chunked_cvjp.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)
 
 
-def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
+def _fused_chunked_impl(
+    y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh=None,
+    axis_name: str = "chunks", mpc: int = 0,
+):
     scfg = cfg.stft
     fast = y2d.dtype == jnp.bfloat16  # opt-in bf16 fast mode
     ch, n = y2d.shape
@@ -865,45 +890,120 @@ def _fused_chunked_impl(y2d, noise_thresh, cfg, chunk_size, padding, interpret):
         and need >= bpad + view
         and _merged_supported(t_pad, hop, _merged_halo(_ngf), scfg.n_bins)
     )
-    # k overlapping dynamic-slices of the padded signal. (A phase-aligned
-    # whole-row jnp.take gather and a vmapped large-slice gather were both
-    # tried and are bit-identical but SLOWER on v5e — XLA lowers row
-    # gathers poorly; the strided slices fuse into the stack.)
-    right = max(0, (k - 1) * chunk_size + need - n - left)
+    # chunk counts pad up: to the mesh axis with all-zero chunks (sliced
+    # away from the assembled output, like parallel.chunking), and per
+    # device to a multiple of the max_parallel_chunks group size
+    k_pad = k
+    n_dev = 1
+    if mesh is not None:
+        n_dev = mesh.shape[axis_name]
+        k_pad = -(-k // n_dev) * n_dev
+    k_local = k_pad // n_dev
+    if mpc and k_local > mpc:
+        n_groups = -(-k_local // mpc)
+        k_group = mpc
+    else:
+        n_groups = 1
+        k_group = k_local
+    k_local_pad = n_groups * k_group
+    # the last device's last group may slice past the signal: zero-pad the
+    # signal so every slice reads valid (zero) memory
+    max_chunk = (n_dev - 1) * k_local + (k_local_pad - 1)
+    right = max(0, max_chunk * chunk_size + need - n - left)
     ypad = jnp.pad(
         y2d if bf16_blocks else y2d.astype(jnp.float32),
         [(0, 0), (left, right)],
     )
-    parts = [
-        jax.lax.dynamic_slice_in_dim(ypad, i * chunk_size, need, axis=-1)
-        for i in range(k)
-    ]
-    ext_sig = jnp.stack(parts, axis=1)  # (ch, k, need)
-    if bpad % hop == 0:
-        # scipy's per-chunk boundary zeros (positions outside
-        # [bpad, bpad + view)) and the row padding are applied by the
-        # kernel right after its DMA (f32: zeroing stores; bf16: read-time
-        # masking) — XLA ships the raw rows, padded only to the row
-        # alignment Mosaic's DMA requires (8 f32 / 16 bf16)
-        boundary = (bpad, view)
-        rmult = 16 if bf16_blocks else 8
-        n8 = -(-n_blocks // rmult) * rmult
-        blocks = jnp.pad(
-            ext_sig.reshape(ch * k, n_blocks, hop),
-            [(0, 0), (0, n8 - n_blocks), (0, 0)],
-        )
-    else:  # unreachable for supported geometries (r in {2, 4})
-        boundary = None
-        pos = jnp.arange(need, dtype=jnp.int32)
-        ext_sig = jnp.where((pos >= bpad) & (pos < bpad + view), ext_sig, 0.0)
-        blocks = ext_sig.reshape(ch * k, n_blocks, hop)
-        blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
 
-    core = _fused_gate_from_blocks(
-        blocks, cfg, view, interpret, noise_thresh,
-        out_slice=(padding, chunk_size), fast=fast, boundary=boundary,
-    )
-    if core.shape[-1] < chunk_size:  # tiny paddings: istft tail zero-fill
-        core = jnp.pad(core, [(0, 0), (0, chunk_size - core.shape[-1])])
-    out = core.reshape(ch, k * chunk_size)[:, :n]
+    def gate_segments(seg, thr):
+        """(ch, kk, need) raw signal segments -> (ch, kk, chunk_size) gated
+        cores — the per-chunk kernel body shared by the single-launch,
+        grouped-scan, and mesh-sharded paths."""
+        cch, kk = seg.shape[0], seg.shape[1]
+        if bpad % hop == 0:
+            # scipy's per-chunk boundary zeros (positions outside
+            # [bpad, bpad + view)) and the row padding are applied by the
+            # kernel right after its DMA (f32: zeroing stores; bf16:
+            # read-time masking) — XLA ships the raw rows, padded only to
+            # the row alignment Mosaic's DMA requires (8 f32 / 16 bf16)
+            boundary = (bpad, view)
+            rmult = 16 if bf16_blocks else 8
+            n8 = -(-n_blocks // rmult) * rmult
+            blocks = jnp.pad(
+                seg.reshape(cch * kk, n_blocks, hop),
+                [(0, 0), (0, n8 - n_blocks), (0, 0)],
+            )
+        else:  # unreachable for supported geometries (r in {2, 4})
+            boundary = None
+            pos = jnp.arange(need, dtype=jnp.int32)
+            seg = jnp.where((pos >= bpad) & (pos < bpad + view), seg, 0.0)
+            blocks = seg.reshape(cch * kk, n_blocks, hop)
+            blocks = jnp.pad(blocks, [(0, 0), (0, nb_pad - n_blocks), (0, 0)])
+
+        core = _fused_gate_from_blocks(
+            blocks, cfg, view, interpret, thr,
+            out_slice=(padding, chunk_size), fast=fast, boundary=boundary,
+        )
+        if core.shape[-1] < chunk_size:  # tiny paddings: istft tail zero-fill
+            core = jnp.pad(core, [(0, 0), (0, chunk_size - core.shape[-1])])
+        return core.reshape(cch, kk, chunk_size)
+
+    def build_and_gate(ypad_l, base, thr):
+        # k_group overlapping dynamic-slices of the padded signal; ``base``
+        # is the first chunk's sample offset (static 0 on the single-launch
+        # path — the headline graph is unchanged). (A phase-aligned
+        # whole-row jnp.take gather and a vmapped large-slice gather were
+        # both tried and are bit-identical but SLOWER on v5e — XLA lowers
+        # row gathers poorly; the strided slices fuse into the stack.)
+        parts = [
+            jax.lax.dynamic_slice_in_dim(
+                ypad_l, base + i * chunk_size, need, axis=-1
+            )
+            for i in range(k_group)
+        ]
+        return gate_segments(jnp.stack(parts, axis=1), thr)
+
+    def local_fn(ypad_l, thr, base0):
+        # bound resident chunks (per device under a mesh): scan groups of
+        # mpc chunks with one compiled body, gathering each group's
+        # segments inside the scan — HBM holds the signal plus ONE group's
+        # views (VERDICT r3 #3 composition)
+        if n_groups == 1:
+            out = build_and_gate(ypad_l, base0, thr)
+        else:
+            bases = base0 + jnp.arange(n_groups, dtype=jnp.int32) * (
+                k_group * chunk_size
+            )
+            out = jax.lax.map(lambda b: build_and_gate(ypad_l, b, thr), bases)
+            out = jnp.moveaxis(out, 0, 1).reshape(
+                ch, n_groups * k_group, chunk_size
+            )
+        return out[:, :k_local]
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        # the signal is replicated; each device gathers and gates only its
+        # own chunk range (halo recompute — zero collectives)
+        out_spec = P(None, axis_name, None)
+        stride = k_local * chunk_size
+
+        def body(ypad_l, thr):
+            base0 = jax.lax.axis_index(axis_name) * stride
+            return local_fn(ypad_l, thr, base0)
+
+        if noise_thresh is None:
+            core = jax.shard_map(
+                lambda yp: body(yp, None), mesh=mesh, in_specs=(P(),),
+                out_specs=out_spec, check_vma=False,
+            )(ypad)
+        else:
+            core = jax.shard_map(
+                body, mesh=mesh, in_specs=(P(), P()), out_specs=out_spec,
+                check_vma=False,
+            )(ypad, noise_thresh)
+    else:
+        core = local_fn(ypad, noise_thresh, 0)
+
+    out = core.reshape(ch, k_pad * chunk_size)[:, :n]
     return out.astype(y2d.dtype)

@@ -79,3 +79,114 @@ def test_chunk_mesh_and_distributed_chunks():
     arr = distributed_chunks(local, mesh)
     assert arr.shape == (1, 8, 500)
     np.testing.assert_allclose(np.asarray(arr), local)
+
+
+# ---------------------------------------------------------------------------
+# Whole-body fused chunked path under mesh / max_parallel_chunks
+# (VERDICT r3 #3). Interpret mode executes the Mosaic kernels as jax ops on
+# the CPU mesh — the exact composition that runs compiled on real TPUs.
+# ---------------------------------------------------------------------------
+def _fused_cfg():
+    from noisereduce_tpu.config import GateConfig
+
+    return GateConfig(sr=48000, stationary=False)
+
+
+def _fused_signal(k_chunks=6, chunk=4096, channels=1):
+    n = chunk * k_chunks - 1000  # last chunk partial
+    return jnp.asarray(
+        RNG.standard_normal((channels, n)) * 0.3, dtype=jnp.float32
+    )
+
+
+def test_fused_chunked_mesh_matches_single():
+    from noisereduce_tpu.ops.pallas_pipeline import (
+        fused_gate_chunked, fused_gate_supported,
+    )
+
+    cfg = _fused_cfg()
+    assert fused_gate_supported(cfg, 4096 + 2 * 512, cfg.smoothing[1])
+    y = _fused_signal()
+    single = fused_gate_chunked(y, cfg, 4096, 512, interpret=True)
+    sharded = fused_gate_chunked(
+        y, cfg, 4096, 512, interpret=True, mesh=_mesh(), axis_name="chunks"
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_fused_chunked_max_parallel_chunks_matches():
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+    cfg = _fused_cfg()
+    y = _fused_signal(k_chunks=5)
+    full = fused_gate_chunked(y, cfg, 4096, 512, interpret=True)
+    grouped = fused_gate_chunked(
+        y, cfg, 4096, 512, interpret=True, max_parallel_chunks=2
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(grouped))
+
+
+def test_fused_chunked_mesh_and_mpc_compose():
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+    cfg = _fused_cfg()
+    y = _fused_signal(k_chunks=9, channels=2)  # >1 chunk/device on 4 devices
+    single = fused_gate_chunked(y, cfg, 4096, 512, interpret=True)
+    both = fused_gate_chunked(
+        y, cfg, 4096, 512, interpret=True, mesh=_mesh(4),
+        axis_name="chunks", max_parallel_chunks=2,
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(both))
+
+
+def test_fused_chunked_stationary_mesh_matches():
+    from noisereduce_tpu.config import GateConfig
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+    cfg = GateConfig(sr=48000, stationary=True)
+    y = _fused_signal()
+    thresh = jnp.asarray(
+        RNG.uniform(-60, -20, cfg.stft.n_bins), dtype=jnp.float32
+    )
+    single = fused_gate_chunked(
+        y, cfg, 4096, 512, noise_thresh=thresh, interpret=True
+    )
+    sharded = fused_gate_chunked(
+        y, cfg, 4096, 512, noise_thresh=thresh, interpret=True, mesh=_mesh()
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_fused_chunked_bf16_mesh_matches():
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+    cfg = _fused_cfg()
+    y = _fused_signal().astype(jnp.bfloat16)
+    single = fused_gate_chunked(y, cfg, 4096, 512, interpret=True)
+    sharded = fused_gate_chunked(y, cfg, 4096, 512, interpret=True, mesh=_mesh())
+    assert sharded.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(single, np.float32), np.asarray(sharded, np.float32)
+    )
+
+
+@pytest.mark.parametrize("stationary", [False, True])
+def test_public_api_mesh_hits_fused_path(monkeypatch, stationary):
+    """reduce_noise(mesh=...) runs the whole-body fused kernels per shard
+    (forced interpret on CPU), matching the unsharded fused path exactly and
+    the staged pipeline within the fused-vs-staged envelope."""
+    monkeypatch.setenv("NRTPU_FUSED_INTERPRET", "1")
+    y = (RNG.standard_normal(4096 * 5 - 777) * 0.3).astype(np.float32)
+    kw = dict(
+        sr=48000, stationary=stationary, chunk_size=4096, padding=512,
+        compute_dtype=jnp.float32,
+    )
+    if stationary:
+        kw["y_noise"] = y[:8192]
+    fused_single = nr.reduce_noise(y=y, **kw)
+    fused_mesh = nr.reduce_noise(y=y, mesh=_mesh(), **kw)
+    np.testing.assert_array_equal(fused_single, fused_mesh)
+    monkeypatch.delenv("NRTPU_FUSED_INTERPRET")
+    staged = nr.reduce_noise(y=y, **kw)
+    scale = np.max(np.abs(staged))
+    assert np.max(np.abs(fused_mesh - staged)) < 5e-3 * scale
