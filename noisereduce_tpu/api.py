@@ -89,12 +89,13 @@ def _fused_interpret() -> bool:
     jax.jit,
     static_argnames=(
         "cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
-        "use_pallas", "interpret",
+        "use_pallas", "interpret", "cores",
     ),
 )
 def _run_stationary(
     y2d, y_noise_mono, cfg, chunk_size, padding, method, mesh=None,
     axis_name="chunks", mpc=0, use_pallas="auto", interpret=False,
+    cores=False,
 ):
     thresh = stationary_noise_threshold(
         y_noise_mono, cfg, method=method, use_pallas=use_pallas
@@ -107,7 +108,7 @@ def _run_stationary(
         return fused_gate_chunked(
             y2d, cfg, chunk_size, padding, noise_thresh=thresh,
             interpret=interpret, mesh=mesh, axis_name=axis_name,
-            max_parallel_chunks=mpc,
+            max_parallel_chunks=mpc, flat_output=not cores,
         )
     fn = lambda c, t: gate_stationary(
         c, t, cfg, method=method, use_pallas=use_pallas
@@ -122,12 +123,12 @@ def _run_stationary(
     jax.jit,
     static_argnames=(
         "cfg", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
-        "use_pallas", "interpret",
+        "use_pallas", "interpret", "cores",
     ),
 )
 def _run_nonstationary(
     y2d, cfg, chunk_size, padding, method, mesh=None, axis_name="chunks",
-    mpc=0, use_pallas="auto", interpret=False,
+    mpc=0, use_pallas="auto", interpret=False, cores=False,
 ):
     if _fused_chunked_ok(
         cfg, y2d, chunk_size, padding, mesh, mpc, use_pallas, interpret
@@ -137,6 +138,7 @@ def _run_nonstationary(
         return fused_gate_chunked(
             y2d, cfg, chunk_size, padding, interpret=interpret, mesh=mesh,
             axis_name=axis_name, max_parallel_chunks=mpc,
+            flat_output=not cores,
         )
     fn = lambda c: gate_nonstationary(c, cfg, method=method, use_pallas=use_pallas)
     return process_chunked(
@@ -499,7 +501,7 @@ def reduce_noise(
             out = _run_stationary(
                 y2d, yn_mono, cfg, chunk_size, padding, method, mesh,
                 axis_name, max_parallel_chunks, use_pallas,
-                _fused_interpret(),
+                _fused_interpret(), cores=True,
             )
     else:
         cfg = GateConfig(
@@ -525,9 +527,16 @@ def reduce_noise(
             out = _run_nonstationary(
                 y2d, cfg, chunk_size, padding, method, mesh, axis_name,
                 max_parallel_chunks, use_pallas, _fused_interpret(),
+                cores=True,
             )
 
-    out = np.asarray(out).astype(out_dtype)
+    out = np.asarray(out)
+    if out.ndim == 3:
+        # fused chunked path returned (ch, k_pad, chunk_size) cores: the
+        # flatten that is a tile-misaligned relayout loop on device (~6.5
+        # ms/960 s) is a free view on the host copy
+        out = out.reshape(out.shape[0], -1)[:, : y2d.shape[-1]]
+    out = out.astype(out_dtype)
     return out.flatten() if flat else out
 
 

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from noisereduce_tpu.ops.precision import staged_precision
+
 __all__ = [
     "amp_to_db",
     "sigmoid",
@@ -313,7 +315,7 @@ def _ewma_forward_tm(x: jax.Array, b: float, block: int = 128) -> jax.Array:
     L = jnp.asarray(L_np, dtype)
     acc = jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
     P = jnp.matmul(
-        L, xb, preferred_element_type=acc, precision=jax.lax.Precision.HIGH
+        L, xb, preferred_element_type=acc, precision=staged_precision()
     ).astype(dtype)
 
     last = P[..., -1, :]  # (..., n_blocks, F)
@@ -367,7 +369,7 @@ def _ewma_forward(x: jax.Array, b: float, block: int = 128) -> jax.Array:
     Lt = jnp.asarray(L_np.T, dtype)
     acc = jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
     P = jnp.matmul(
-        xb, Lt, preferred_element_type=acc, precision=jax.lax.Precision.HIGH
+        xb, Lt, preferred_element_type=acc, precision=staged_precision()
     ).astype(dtype)
 
     # carry scan over blocks: c_k = P_k[-1] + a^B * c_{k-1}

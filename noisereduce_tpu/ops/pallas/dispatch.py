@@ -415,11 +415,13 @@ def _fused_gate_fwd(chunk, cfg, interpret):
 
 def _fused_gate_bwd(cfg, interpret, chunk, g):
     from noisereduce_tpu.models.spectral_gate import _gate_nonstationary_jnp
+    from noisereduce_tpu.ops.precision import cotangent_precision
 
-    _, vjp_fn = jax.vjp(
-        lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"), chunk
-    )
-    return vjp_fn(g)
+    with cotangent_precision():
+        _, vjp_fn = jax.vjp(
+            lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"), chunk
+        )
+        return vjp_fn(g)
 
 
 _fused_gate_cvjp.defvjp(_fused_gate_fwd, _fused_gate_bwd)
@@ -451,12 +453,15 @@ def _fused_stat_fwd(chunk, noise_thresh, cfg, interpret):
 def _fused_stat_bwd(cfg, interpret, res, g):
     from noisereduce_tpu.models.spectral_gate import _gate_stationary_jnp
 
+    from noisereduce_tpu.ops.precision import cotangent_precision
+
     chunk, noise_thresh = res
-    _, vjp_fn = jax.vjp(
-        lambda c, t: _gate_stationary_jnp(c, t, cfg, "matmul"),
-        chunk, noise_thresh,
-    )
-    return vjp_fn(g)
+    with cotangent_precision():
+        _, vjp_fn = jax.vjp(
+            lambda c, t: _gate_stationary_jnp(c, t, cfg, "matmul"),
+            chunk, noise_thresh,
+        )
+        return vjp_fn(g)
 
 
 _fused_stat_cvjp.defvjp(_fused_stat_fwd, _fused_stat_bwd)
@@ -778,7 +783,7 @@ def _fused_gate_from_blocks(
 def fused_gate_chunked(
     y2d, cfg, chunk_size: int, padding: int, noise_thresh=None,
     interpret: bool = False, mesh=None, axis_name: str = "chunks",
-    max_parallel_chunks: int = 0,
+    max_parallel_chunks: int = 0, flat_output: bool = True,
 ):
     """The whole chunked scipy-engine body — extract + gate + assemble
     (reference base.py:144-226 semantics) — with the hop blocks gathered
@@ -801,38 +806,46 @@ def fused_gate_chunked(
     simultaneously-resident chunk count (per device under a mesh) via an
     in-graph ``lax.map`` over chunk groups. Per-chunk numerics are
     identical either way — chunks are independent by construction.
+
+    ``flat_output=False`` returns the raw (channels, k_pad, chunk_size)
+    chunk cores instead of the flattened signal: the device-side flatten
+    of 600000-sample rows is a tile-misaligned relayout XLA lowers as a
+    per-chunk loop (~6.5 ms/960 s measured on v5e), while the same
+    flatten of the host copy is a free view — callers that leave the
+    device right after (the public API, bench) should take the cores.
     """
     return _fused_chunked_cvjp(
         y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh,
-        axis_name, max_parallel_chunks,
+        axis_name, max_parallel_chunks, flat_output,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _fused_chunked_cvjp(
     y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh, axis_name,
-    mpc,
+    mpc, flat_output=True,
 ):
     return _fused_chunked_impl(
         y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh,
-        axis_name, mpc,
+        axis_name, mpc, flat_output,
     )
 
 
 def _fused_chunked_fwd(
     y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh, axis_name,
-    mpc,
+    mpc, flat_output=True,
 ):
     # fused-primal + staged-backward (see _fused_gate_fwd)
     out = _fused_chunked_impl(
         y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh,
-        axis_name, mpc,
+        axis_name, mpc, flat_output,
     )
     return out, (y2d, noise_thresh)
 
 
 def _fused_chunked_bwd(
-    cfg, chunk_size, padding, interpret, mesh, axis_name, mpc, res, g
+    cfg, chunk_size, padding, interpret, mesh, axis_name, mpc, flat_output,
+    res, g
 ):
     from noisereduce_tpu.models.spectral_gate import (
         _gate_nonstationary_jnp, _gate_stationary_jnp,
@@ -840,6 +853,13 @@ def _fused_chunked_bwd(
     from noisereduce_tpu.parallel.chunking import process_chunked
 
     y2d, noise_thresh = res
+    if not flat_output:
+        # cotangent arrives in (ch, k_pad, chunk_size) core form; the staged
+        # twin computes on the flat signal
+        ch, n = y2d.shape
+        g = g.reshape(ch, -1)[:, :n]
+    from noisereduce_tpu.ops.precision import cotangent_precision
+
     if noise_thresh is None:
         def run(y):
             return process_chunked(
@@ -848,8 +868,9 @@ def _fused_chunked_bwd(
                 max_parallel_chunks=mpc,
             )
 
-        _, vjp_fn = jax.vjp(run, y2d)
-        return (vjp_fn(g)[0], None)
+        with cotangent_precision():
+            _, vjp_fn = jax.vjp(run, y2d)
+            return (vjp_fn(g)[0], None)
 
     def run(y, t):
         return process_chunked(
@@ -858,8 +879,9 @@ def _fused_chunked_bwd(
             extra=(t,), max_parallel_chunks=mpc,
         )
 
-    _, vjp_fn = jax.vjp(run, y2d, noise_thresh)
-    return vjp_fn(g)
+    with cotangent_precision():
+        _, vjp_fn = jax.vjp(run, y2d, noise_thresh)
+        return vjp_fn(g)
 
 
 _fused_chunked_cvjp.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)
@@ -867,7 +889,7 @@ _fused_chunked_cvjp.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)
 
 def _fused_chunked_impl(
     y2d, noise_thresh, cfg, chunk_size, padding, interpret, mesh=None,
-    axis_name: str = "chunks", mpc: int = 0,
+    axis_name: str = "chunks", mpc: int = 0, flat_output: bool = True,
 ):
     scfg = cfg.stft
     fast = y2d.dtype == jnp.bfloat16  # opt-in bf16 fast mode
@@ -910,10 +932,26 @@ def _fused_chunked_impl(
     # signal so every slice reads valid (zero) memory
     max_chunk = (n_dev - 1) * k_local + (k_local_pad - 1)
     right = max(0, max_chunk * chunk_size + need - n - left)
-    ypad = jnp.pad(
-        y2d if bf16_blocks else y2d.astype(jnp.float32),
-        [(0, 0), (left, right)],
+    ysrc = y2d if bf16_blocks else y2d.astype(jnp.float32)
+    ypad = jnp.pad(ysrc, [(0, 0), (left, right)])
+    # Phase-aligned gather: chunk i's slice offset is base + i*chunk_size,
+    # and chunk_size % 128 == 64 for the reference default (600000), so odd
+    # chunks are 64-lane misaligned — XLA lowers those per-chunk copies
+    # ~13x off the HBM roofline (measured ~6.3 ms/960 s; one big misaligned
+    # pass is near-roofline, many small ones are not). A SECOND padded copy
+    # shifted 64 lanes left makes every odd chunk's slice 128-aligned.
+    # Bit-identical: the slices read the same elements. Needs statically
+    # known chunk parity: always true single-launch (base == 0); under
+    # mesh/groups true when the per-device / per-group chunk counts are
+    # even (base is then an even multiple of chunk_size).
+    parity_static = (mesh is None or k_local % 2 == 0) and (
+        n_groups == 1 or k_group % 2 == 0
     )
+    two_phase = chunk_size % 128 == 64 and parity_static and left >= 64
+    if two_phase:
+        ypad_phases = (ypad, jnp.pad(ysrc, [(0, 0), (left - 64, right + 64)]))
+    else:
+        ypad_phases = (ypad,)
 
     def gate_segments(seg, thr):
         """(ch, kk, need) raw signal segments -> (ch, kk, chunk_size) gated
@@ -948,33 +986,37 @@ def _fused_chunked_impl(
             core = jnp.pad(core, [(0, 0), (0, chunk_size - core.shape[-1])])
         return core.reshape(cch, kk, chunk_size)
 
-    def build_and_gate(ypad_l, base, thr):
+    def build_and_gate(ypads, base, thr):
         # k_group overlapping dynamic-slices of the padded signal; ``base``
         # is the first chunk's sample offset (static 0 on the single-launch
-        # path — the headline graph is unchanged). (A phase-aligned
+        # path). Odd chunks slice the 64-shifted phase copy so every copy
+        # is 128-lane aligned (see two_phase above). (A phase-aligned
         # whole-row jnp.take gather and a vmapped large-slice gather were
         # both tried and are bit-identical but SLOWER on v5e — XLA lowers
         # row gathers poorly; the strided slices fuse into the stack.)
         parts = [
             jax.lax.dynamic_slice_in_dim(
-                ypad_l, base + i * chunk_size, need, axis=-1
+                ypads[i % 2 if two_phase else 0],
+                base + i * chunk_size - (64 * (i % 2) if two_phase else 0),
+                need,
+                axis=-1,
             )
             for i in range(k_group)
         ]
         return gate_segments(jnp.stack(parts, axis=1), thr)
 
-    def local_fn(ypad_l, thr, base0):
+    def local_fn(ypads, thr, base0):
         # bound resident chunks (per device under a mesh): scan groups of
         # mpc chunks with one compiled body, gathering each group's
         # segments inside the scan — HBM holds the signal plus ONE group's
         # views (VERDICT r3 #3 composition)
         if n_groups == 1:
-            out = build_and_gate(ypad_l, base0, thr)
+            out = build_and_gate(ypads, base0, thr)
         else:
             bases = base0 + jnp.arange(n_groups, dtype=jnp.int32) * (
                 k_group * chunk_size
             )
-            out = jax.lax.map(lambda b: build_and_gate(ypad_l, b, thr), bases)
+            out = jax.lax.map(lambda b: build_and_gate(ypads, b, thr), bases)
             out = jnp.moveaxis(out, 0, 1).reshape(
                 ch, n_groups * k_group, chunk_size
             )
@@ -987,23 +1029,27 @@ def _fused_chunked_impl(
         # own chunk range (halo recompute — zero collectives)
         out_spec = P(None, axis_name, None)
         stride = k_local * chunk_size
+        n_ph = len(ypad_phases)
 
-        def body(ypad_l, thr):
+        def body(*args):
+            ypads, thr = args[:n_ph], (args[n_ph] if len(args) > n_ph else None)
             base0 = jax.lax.axis_index(axis_name) * stride
-            return local_fn(ypad_l, thr, base0)
+            return local_fn(ypads, thr, base0)
 
         if noise_thresh is None:
             core = jax.shard_map(
-                lambda yp: body(yp, None), mesh=mesh, in_specs=(P(),),
+                body, mesh=mesh, in_specs=(P(),) * n_ph,
                 out_specs=out_spec, check_vma=False,
-            )(ypad)
+            )(*ypad_phases)
         else:
             core = jax.shard_map(
-                body, mesh=mesh, in_specs=(P(), P()), out_specs=out_spec,
-                check_vma=False,
-            )(ypad, noise_thresh)
+                body, mesh=mesh, in_specs=(P(),) * n_ph + (P(),),
+                out_specs=out_spec, check_vma=False,
+            )(*ypad_phases, noise_thresh)
     else:
-        core = local_fn(ypad, noise_thresh, 0)
+        core = local_fn(ypad_phases, noise_thresh, 0)
 
-    out = core.reshape(ch, k_pad * chunk_size)[:, :n]
-    return out.astype(y2d.dtype)
+    if flat_output:
+        out = core.reshape(ch, k_pad * chunk_size)[:, :n]
+        return out.astype(y2d.dtype)
+    return core.astype(y2d.dtype)

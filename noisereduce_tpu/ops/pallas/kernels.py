@@ -9,6 +9,8 @@ from ``.geometry``; the pallas_call builders live in ``.dispatch``.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +28,25 @@ from noisereduce_tpu.ops.pallas.geometry import (
 # ---------------------------------------------------------------------------
 # In-kernel helpers
 # ---------------------------------------------------------------------------
+# Block-loop strategy: the per-cell phase loops iterate over n_tb (or nti)
+# time blocks with VMEM reads/writes at tb-dependent offsets. A traced
+# fori_loop makes every slice a DYNAMIC address (scalar-core address setup
+# serializes against the vector pipeline); a Python loop makes every offset
+# a compile-time constant. NRTPU_KERNEL_UNROLL=0 restores the rolled loops
+# (smaller Mosaic programs, slower steady state).
+_UNROLL = os.environ.get("NRTPU_KERNEL_UNROLL", "1") != "0"
+
+
+def _floop(n, body, init=0):
+    """fori_loop(0, n, body, init) with optional full unroll (static n)."""
+    if _UNROLL and isinstance(n, (int, np.integer)):
+        carry = init
+        for tb in range(int(n)):
+            carry = body(tb, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def _twiddle_rows(r: int, inverse: bool, bin0: int):
     """Per-shift constant twiddle rows (built once per grid cell, outside
     the block loops): for shift k, (alpha, beta, gamma, delta) (1, _FT) rows
@@ -267,16 +288,14 @@ def _spectra_phases(
             tail_from = max(tail_from, head_blocks)
             for tb in range(head_blocks):
                 direct_body(tb, True)
-            jax.lax.fori_loop(
-                head_blocks, tail_from,
-                lambda tb, c: (direct_body(tb, False), 0)[1], 0,
+            _floop(
+                tail_from - head_blocks,
+                lambda t, c: (direct_body(t + head_blocks, False), 0)[1], 0,
             )
             for tb in range(tail_from, n_tb):
                 direct_body(tb, True)
         else:
-            jax.lax.fori_loop(
-                0, n_tb, lambda tb, c: (direct_body(tb, False), 0)[1], 0
-            )
+            _floop(n_tb, lambda tb, c: (direct_body(tb, False), 0)[1], 0)
         return
 
     # ---- phases 1+2, software-pipelined: the FB dot for block tb+1 issues
@@ -336,7 +355,7 @@ def _spectra_phases(
         im_ref[0, pl.ds(s, _TB), :] = xim
         return 0
 
-    jax.lax.fori_loop(0, n_tb, body, 0)
+    _floop(n_tb, body, 0)
 
 
 def _time_band_rows(vt, H):
@@ -397,7 +416,7 @@ def _time_smooth_phase(src_ref, mask_ref, *, n_tb, t_real, vt, mm=False,
         mask_ref[0, pl.ds(s, _TB), :] = jnp.where(ridx < t_real, acc, 0.0)
         return 0
 
-    jax.lax.fori_loop(0, n_tb, smooth_body, 0)
+    _floop(n_tb, smooth_body, 0)
 
 
 def _am_kernel(
@@ -471,7 +490,7 @@ def _am_kernel(
         return jax.lax.slice_in_dim(yb, ti - 1, ti, axis=0)
 
     carry0 = jnp.zeros((1, _FT), jnp.float32)
-    jax.lax.fori_loop(0, nti, fwd_body, carry0)
+    _floop(nti, fwd_body, carry0)
 
     def bwd_dot(start):
         yb = y_ref[pl.ds(start, ti), :]
@@ -503,7 +522,7 @@ def _am_kernel(
             y_ref[pl.ds(start, ti), :] = mask
         return nxt
 
-    jax.lax.fori_loop(0, nti, bwd_body, carry0)
+    _floop(nti, bwd_body, carry0)
 
     # ---- phase 4: blockwise time-axis triangular smoothing ---------------
     if vt is not None:
@@ -557,9 +576,7 @@ def _as_kernel(
         y_ref[pl.ds(s, _TB), :] = db
         return jnp.maximum(carry, jnp.max(db, axis=0, keepdims=True))
 
-    maxdb = jax.lax.fori_loop(
-        0, n_tb, db_body, jnp.full((1, _FT), -1e30, jnp.float32)
-    )
+    maxdb = _floop(n_tb, db_body, jnp.full((1, _FT), -1e30, jnp.float32))
 
     floor = maxdb - jnp.float32(top_db)
 
@@ -582,7 +599,7 @@ def _as_kernel(
             return sm, sq
 
         z = jnp.zeros((1, _FT), jnp.float32)
-        sm, sq = jax.lax.fori_loop(0, n_tb, mom_body, (z, z))
+        sm, sq = _floop(n_tb, mom_body, (z, z))
         nfr = jnp.float32(t_real)
         mean = sm / nfr
         var = jnp.maximum(sq - nfr * mean * mean, 0.0) / jnp.float32(
@@ -608,7 +625,7 @@ def _as_kernel(
             y_ref[pl.ds(s, _TB), :] = m
         return 0
 
-    jax.lax.fori_loop(0, n_tb, mask_body, 0)
+    _floop(n_tb, mask_body, 0)
 
     if vt is not None:
         _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt,
@@ -654,7 +671,7 @@ def _mt_kernel(
         )
         return 0
 
-    jax.lax.fori_loop(0, n_tb, mag_body, 0)
+    _floop(n_tb, mag_body, 0)
 
     # ---- pass 2: moving average + temperature sigmoid + blend -------------
     K = (band_ref.shape[-1] // _TB - 1) // 2
@@ -682,7 +699,7 @@ def _mt_kernel(
         mask_ref[0, pl.ds(s, _TB), :] = m
         return 0
 
-    jax.lax.fori_loop(0, n_tb, ma_body, 0)
+    _floop(n_tb, ma_body, 0)
 
     # ---- pass 3: time-axis smoothing (SVD rank-1 of the torch kernel) ----
     if vt is not None:
@@ -692,7 +709,7 @@ def _mt_kernel(
             y_ref[pl.ds(s, _TB), :] = mask_ref[0, pl.ds(s, _TB), :]
             return 0
 
-        jax.lax.fori_loop(0, n_tb, copy_body, 0)
+        _floop(n_tb, copy_body, 0)
         _time_smooth_phase(y_ref, mask_ref, n_tb=n_tb, t_real=t_real, vt=vt,
                            mm=direct, prec=prec)
 
@@ -792,7 +809,7 @@ def _apply_istft_kernel(
             jnp.zeros((H, _FT), jnp.float32),
             jnp.zeros((H, _FT), jnp.float32),
         )
-        jax.lax.fori_loop(0, n_tb, direct_body, carry0)
+        _floop(n_tb, direct_body, carry0)
     else:
         # loop-invariant: real/imag inverse matrices stacked along contraction
         cisi = jnp.concatenate([ci_ref[...], si_ref[...]], axis=0)
@@ -842,7 +859,7 @@ def _apply_istft_kernel(
             jnp.zeros((H, _FT), jnp.float32),
             jnp.zeros((H, _FT), jnp.float32),
         )
-        jax.lax.fori_loop(0, n_tb, body, carry0)
+        _floop(n_tb, body, carry0)
 
     if inv is not None or oacc_ref is not None:
         # OLA-envelope division (and, on the fast path, the single cast
@@ -861,7 +878,7 @@ def _apply_istft_kernel(
                 return 0
 
             t_pad = out_ref.shape[1]
-            jax.lax.fori_loop(0, t_pad // _TB, scale_body, 0)
+            _floop(t_pad // _TB, scale_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -894,4 +911,4 @@ def _freq_smooth_blend_phase(
         mask_ref[0, pl.ds(s, _TB), :] = m
         return 0
 
-    jax.lax.fori_loop(0, n_tb, body, 0)
+    _floop(n_tb, body, 0)

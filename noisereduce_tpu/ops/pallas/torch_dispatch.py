@@ -136,8 +136,11 @@ def _fused_tpugate1_fwd(x, gate, interpret):
 
 
 def _fused_tpugate1_bwd(gate, interpret, x, g):
-    _, vjp_fn = jax.vjp(lambda a: gate._call_jnp(a, None, "matmul"), x)
-    return vjp_fn(g)
+    from noisereduce_tpu.ops.precision import cotangent_precision
+
+    with cotangent_precision():
+        _, vjp_fn = jax.vjp(lambda a: gate._call_jnp(a, None, "matmul"), x)
+        return vjp_fn(g)
 
 
 _fused_tpugate_cvjp1.defvjp(_fused_tpugate1_fwd, _fused_tpugate1_bwd)
@@ -154,11 +157,14 @@ def _fused_tpugate2_fwd(x, xn, gate, interpret):
 
 
 def _fused_tpugate2_bwd(gate, interpret, res, g):
+    from noisereduce_tpu.ops.precision import cotangent_precision
+
     x, xn = res
-    _, vjp_fn = jax.vjp(
-        lambda a, b: gate._call_jnp(a, b, "matmul"), x, xn
-    )
-    return vjp_fn(g)
+    with cotangent_precision():
+        _, vjp_fn = jax.vjp(
+            lambda a, b: gate._call_jnp(a, b, "matmul"), x, xn
+        )
+        return vjp_fn(g)
 
 
 _fused_tpugate_cvjp2.defvjp(_fused_tpugate2_fwd, _fused_tpugate2_bwd)

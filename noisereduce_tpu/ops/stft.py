@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from noisereduce_tpu.config import Convention, StftConfig
+from noisereduce_tpu.ops.precision import staged_precision
 
 __all__ = ["stft", "istft", "frame_signal", "overlap_add", "hann_window"]
 
@@ -254,8 +255,10 @@ def stft(
         acc = jnp.float32 if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype
         # explicit HIGH (bf16_3x): the TPU default is bf16-grade (≈2e-3
         # relative) — too lossy for audio; HIGH lands within ~3e-4 of exact
-        # f32 at a fraction of HIGHEST's 6-pass cost (see BASELINE.md)
-        prec = jax.lax.Precision.HIGH
+        # f32 at a fraction of HIGHEST's 6-pass cost (see BASELINE.md).
+        # Under cotangent_precision() (fused-VJP backward) this drops to
+        # DEFAULT — see ops.precision.
+        prec = staged_precision()
         re = jnp.matmul(frames, c, preferred_element_type=acc, precision=prec).astype(x.dtype)
         im = jnp.matmul(frames, s, preferred_element_type=acc, precision=prec).astype(x.dtype)
     else:
@@ -336,7 +339,7 @@ def istft(
         ci = jnp.asarray(ci, dtype=rdtype)
         si = jnp.asarray(si, dtype=rdtype)
         acc = jnp.float32 if rdtype in (jnp.float32, jnp.bfloat16) else rdtype
-        prec = jax.lax.Precision.HIGH
+        prec = staged_precision()
         frames = (
             jnp.matmul(re_p, ci, preferred_element_type=acc, precision=prec)
             + jnp.matmul(im_p, si, preferred_element_type=acc, precision=prec)
