@@ -93,16 +93,14 @@ def _roofline_model(n_samples, chunk, pad, fast):
     ola_b = 2 if fast else 4                 # OLA plane (bf16 via f32 VMEM
     #                                          accumulator on the fast path)
     n = n_samples
-    pad_rw = 2 * n * in_b                    # jnp.pad of the signal
-    gather = 2 * k * need * in_b             # overlapped slices + stack
+    pad_rw = 2 * 2 * n * in_b                # TWO phase-shifted jnp.pads
+    gather = 2 * k * need * in_b             # aligned slices + stack
     kernel_in = k * need * in_b              # per-chunk DMA of the blocks
     ola_out = k * t_pad * hop * ola_b        # OLA hop-block plane write
     inv_const = t_pad * hop * 4              # 1/envelope plane (resident)
-    tail = k * t_pad * hop * ola_b + n * out_b  # tail read + output write
-    checksum = n * out_b
-    bytes_total = (
-        pad_rw + gather + kernel_in + ola_out + inv_const + tail + checksum
-    )
+    # core-slice output (host assembles the flat signal from the D2H copy)
+    tail = k * t_pad * hop * ola_b + k * chunk * out_b
+    bytes_total = pad_rw + gather + kernel_in + ola_out + inv_const + tail
 
     return (
         flops_equiv / _PEAK_BF16_FLOPS,
@@ -129,6 +127,70 @@ def _roofline_extras(extras, prefix, t_wall, t_launch, fast):
     extras[f"{prefix}_mfu"] = round(flops / t_onchip / _PEAK_BF16_FLOPS, 3)
 
 
+def _phase_attribution(extras, fn, y, reps=3):
+    """Device-trace per-phase attribution of the headline graph (VERDICT r3
+    item 1): bucket every device op's time into kernel / data-movement /
+    checksum, and report the fraction of the module span the named buckets
+    cover. jax.profiler traces work through the remote tunnel (NOTES.md)."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    with tempfile.TemporaryDirectory(prefix="nr_bench_trace") as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                float(fn(y))
+        paths = glob.glob(
+            os.path.join(td, "**", "*.trace.json.gz"), recursive=True
+        )
+        if not paths:
+            extras["phase_note"] = "no trace captured"
+            return
+        with gzip.open(sorted(paths)[-1], "rt") as f:
+            data = json.load(f)
+    events = data.get("traceEvents", [])
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = e.get("args", {}).get("name", "")
+            if "TPU" in nm or "/device:" in nm or "Device" in nm:
+                dev_pids.add(e.get("pid"))
+    per_op = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        per_op[name] = per_op.get(name, 0.0) + e.get("dur", 0.0)
+    module_us = 0.0
+    buckets = {"kernel": 0.0, "data_movement": 0.0, "checksum": 0.0,
+               "other": 0.0}
+    data_words = ("slice", "pad", "copy", "while", "broadcast", "bitcast",
+                  "update", "concat", "transpose")
+    for name, us in per_op.items():
+        if name.startswith("jit"):
+            # the XLA module span — the parent covering the whole rep
+            module_us = max(module_us, us)
+            continue
+        low = name.lower()
+        if "nonstationary" in low or "custom" in low:
+            buckets["kernel"] += us
+        elif "reduce" in low:
+            buckets["checksum"] += us
+        elif any(w in low for w in data_words) or low.startswith("fusion"):
+            buckets["data_movement"] += us
+        else:
+            buckets["other"] += us
+    named = sum(buckets.values())
+    extras["phase_ms_per_run"] = {
+        k: round(v / reps / 1e3, 3) for k, v in buckets.items()
+    }
+    extras["phase_module_ms_per_run"] = round(module_us / reps / 1e3, 3)
+    if module_us:
+        extras["phase_attributed_frac"] = round(named / module_us, 3)
+
+
 def _measure_tpu(extras):
     import jax
 
@@ -151,20 +213,22 @@ def _measure_tpu(extras):
 
         @jax.jit
         def forward(y):
-            # the api's production dispatch (fused chunked path on TPU)
+            # the api's production dispatch: fused chunked path on TPU,
+            # returning the (ch, k, chunk_size) cores the public API
+            # host-assembles (the device-side flatten is a tile-misaligned
+            # relayout loop, ~6.5 ms/960 s — see fused_gate_chunked)
             out = _run_nonstationary(
-                y, cfg, CHUNK, PAD, "matmul", use_pallas=use_pallas
+                y, cfg, CHUNK, PAD, "matmul", use_pallas=use_pallas,
+                cores=True,
             )
             # In-graph checksum: synchronizing on a 4-byte scalar forces
             # real completion even through remote-execution tunnels where
             # block_until_ready returns early, without timing a huge D2H.
-            # Reshape before reducing: a (1, 46M) single-row lane
-            # reduction runs ~13x off the HBM roofline (~3 ms of pure
-            # measurement artifact); as (rows, 4096) it reads at
-            # ~bandwidth (~0.2 ms).
-            if out.size % 4096 == 0:
-                return jnp.sum(out.reshape(-1, 4096))
-            return jnp.sum(out)
+            # STRIDED reads: the Pallas custom-call computes every element
+            # regardless (it cannot be partially dead-code-eliminated), and
+            # a full-array reduce over the misaligned core measurably
+            # perturbs the graph (XLA inserts a transposed relayout copy).
+            return jnp.sum(out[..., ::1999].astype(jnp.float32))
 
         return forward
 
@@ -190,6 +254,13 @@ def _measure_tpu(extras):
     y_bf16 = y960.astype(jnp.bfloat16)
     t_head = timeit(fused, y_bf16)
     rtf = DURATION_S / t_head
+
+    # trace-backed per-phase attribution of the headline graph (never let
+    # a profiler hiccup cost the headline)
+    try:
+        _phase_attribution(extras, fused, y_bf16)
+    except Exception as e:
+        extras["phase_probe_error"] = repr(e)[:120]
 
     # per-launch overhead of the execution environment (an empty jit call):
     # ~31 ms through this remote tunnel, ~47% of the headline wall time.
@@ -348,6 +419,21 @@ def main():
     extras = {}
     _require_device()
     rtf = _measure_tpu(extras)
+    # Regression guard (VERDICT r3 item 2): the headline must clear 20k
+    # with margin; fail LOUDLY on a healthy tunnel so a kernel regression
+    # cannot hide in launch jitter. On a degraded tunnel (launch probe
+    # >= 40 ms — it has swung 24-80 ms across sessions) record the state
+    # instead of losing the artifact.
+    launch_ms = extras.get("launch_overhead_ms")
+    if rtf < 20000:
+        if launch_ms is not None and launch_ms < 40.0:
+            raise AssertionError(
+                f"headline RTF {rtf:.0f} < 20000 with a healthy tunnel "
+                f"(launch {launch_ms} ms) — kernel/graph regression"
+            )
+        extras["headline_note"] = (
+            f"below 20k with degraded tunnel (launch {launch_ms} ms)"
+        )
     ref_rtf = _measure_reference_cpu_rtf()
     vs = rtf / ref_rtf if ref_rtf else rtf / 1000.0  # fall back to north-star
     print(

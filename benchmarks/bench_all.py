@@ -33,12 +33,12 @@ CHUNK, PAD = 600000, 30000
 
 
 def _checksum(out):
-    # Reshape before reducing: a (1, 46M) single-row lane reduction runs
-    # ~13x off the HBM roofline (~3 ms of pure measurement artifact); as
-    # (rows, 4096) it reads at ~bandwidth (see bench.py).
-    if out.size % 4096 == 0:
-        return jnp.sum(out.reshape(-1, 4096))
-    return jnp.sum(out)
+    # Strided native-layout reads (see bench.py): a full reduce over the
+    # tile-misaligned (ch, k, 600000) core measurably perturbs the graph,
+    # and the Pallas custom-call computes every element regardless.
+    if out.ndim == 0:
+        return out
+    return jnp.sum(out[..., ::1999].astype(jnp.float32))
 
 
 def timeit(fn, *args, iters=5):
@@ -69,8 +69,10 @@ def main():
     from noisereduce_tpu.api import _run_nonstationary, _run_stationary
 
     def stat(y, yn):
-        # the api's production dispatch (fused chunked path on TPU)
-        return _run_stationary(y, yn, cfg_s, CHUNK, PAD, "matmul")
+        # the api's production dispatch (fused chunked path on TPU; cores
+        # out — the public API assembles the flat signal on the host)
+        return _run_stationary(y, yn, cfg_s, CHUNK, PAD, "matmul",
+                               cores=True)
 
     log("running: stationary...")
     rows.append(("stationary + noise clip (mono)", DUR / timeit(stat, y, yn)))
@@ -80,7 +82,7 @@ def main():
     cfg_n = GateConfig(sr=SR, stationary=False)
 
     def nonstat(y):
-        return _run_nonstationary(y, cfg_n, CHUNK, PAD, "matmul")
+        return _run_nonstationary(y, cfg_n, CHUNK, PAD, "matmul", cores=True)
 
     log("running: non-stationary...")
     rows.append(("non-stationary (mono)", DUR / timeit(nonstat, y)))
@@ -184,6 +186,11 @@ def main():
     rows.append((
         "batch serving (32 x 15 s clips, one launch)",
         (32 * 15) / timeit(nonstat, yb),
+    ))
+    log(rows[-1])
+    rows.append((
+        "batch serving (32 x 15 s clips, bf16 fast mode)",
+        (32 * 15) / timeit(nonstat, yb.astype(jnp.bfloat16)),
     ))
     log(rows[-1])
     del yb

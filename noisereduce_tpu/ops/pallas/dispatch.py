@@ -415,13 +415,11 @@ def _fused_gate_fwd(chunk, cfg, interpret):
 
 def _fused_gate_bwd(cfg, interpret, chunk, g):
     from noisereduce_tpu.models.spectral_gate import _gate_nonstationary_jnp
-    from noisereduce_tpu.ops.precision import cotangent_precision
+    from noisereduce_tpu.ops.precision import cotangent_vjp
 
-    with cotangent_precision():
-        _, vjp_fn = jax.vjp(
-            lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"), chunk
-        )
-        return vjp_fn(g)
+    return cotangent_vjp(
+        lambda c: _gate_nonstationary_jnp(c, cfg, "matmul"), (chunk,), g
+    )
 
 
 _fused_gate_cvjp.defvjp(_fused_gate_fwd, _fused_gate_bwd)
@@ -453,15 +451,13 @@ def _fused_stat_fwd(chunk, noise_thresh, cfg, interpret):
 def _fused_stat_bwd(cfg, interpret, res, g):
     from noisereduce_tpu.models.spectral_gate import _gate_stationary_jnp
 
-    from noisereduce_tpu.ops.precision import cotangent_precision
+    from noisereduce_tpu.ops.precision import cotangent_vjp
 
     chunk, noise_thresh = res
-    with cotangent_precision():
-        _, vjp_fn = jax.vjp(
-            lambda c, t: _gate_stationary_jnp(c, t, cfg, "matmul"),
-            chunk, noise_thresh,
-        )
-        return vjp_fn(g)
+    return cotangent_vjp(
+        lambda c, t: _gate_stationary_jnp(c, t, cfg, "matmul"),
+        (chunk, noise_thresh), g,
+    )
 
 
 _fused_stat_cvjp.defvjp(_fused_stat_fwd, _fused_stat_bwd)
@@ -858,7 +854,7 @@ def _fused_chunked_bwd(
         # twin computes on the flat signal
         ch, n = y2d.shape
         g = g.reshape(ch, -1)[:, :n]
-    from noisereduce_tpu.ops.precision import cotangent_precision
+    from noisereduce_tpu.ops.precision import cotangent_vjp
 
     if noise_thresh is None:
         def run(y):
@@ -868,9 +864,7 @@ def _fused_chunked_bwd(
                 max_parallel_chunks=mpc,
             )
 
-        with cotangent_precision():
-            _, vjp_fn = jax.vjp(run, y2d)
-            return (vjp_fn(g)[0], None)
+        return (cotangent_vjp(run, (y2d,), g)[0], None)
 
     def run(y, t):
         return process_chunked(
@@ -879,9 +873,7 @@ def _fused_chunked_bwd(
             extra=(t,), max_parallel_chunks=mpc,
         )
 
-    with cotangent_precision():
-        _, vjp_fn = jax.vjp(run, y2d, noise_thresh)
-        return vjp_fn(g)
+    return cotangent_vjp(run, (y2d, noise_thresh), g)
 
 
 _fused_chunked_cvjp.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)

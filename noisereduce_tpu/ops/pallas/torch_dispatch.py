@@ -136,11 +136,9 @@ def _fused_tpugate1_fwd(x, gate, interpret):
 
 
 def _fused_tpugate1_bwd(gate, interpret, x, g):
-    from noisereduce_tpu.ops.precision import cotangent_precision
+    from noisereduce_tpu.ops.precision import cotangent_vjp
 
-    with cotangent_precision():
-        _, vjp_fn = jax.vjp(lambda a: gate._call_jnp(a, None, "matmul"), x)
-        return vjp_fn(g)
+    return cotangent_vjp(lambda a: gate._call_jnp(a, None, "matmul"), (x,), g)
 
 
 _fused_tpugate_cvjp1.defvjp(_fused_tpugate1_fwd, _fused_tpugate1_bwd)
@@ -157,14 +155,12 @@ def _fused_tpugate2_fwd(x, xn, gate, interpret):
 
 
 def _fused_tpugate2_bwd(gate, interpret, res, g):
-    from noisereduce_tpu.ops.precision import cotangent_precision
+    from noisereduce_tpu.ops.precision import cotangent_vjp
 
     x, xn = res
-    with cotangent_precision():
-        _, vjp_fn = jax.vjp(
-            lambda a, b: gate._call_jnp(a, b, "matmul"), x, xn
-        )
-        return vjp_fn(g)
+    return cotangent_vjp(
+        lambda a, b: gate._call_jnp(a, b, "matmul"), (x, xn), g
+    )
 
 
 _fused_tpugate_cvjp2.defvjp(_fused_tpugate2_fwd, _fused_tpugate2_bwd)

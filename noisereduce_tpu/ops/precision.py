@@ -30,6 +30,7 @@ _OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
 )
 
 _NAMES = {
+    "bf16": jax.lax.Precision.DEFAULT,
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
@@ -42,16 +43,58 @@ def staged_precision():
     return jax.lax.Precision.HIGH if override is None else override
 
 
+def _cotangent_mode() -> str:
+    name = os.environ.get("NRTPU_COTANGENT_PRECISION", "bf16").lower()
+    if name not in _NAMES:
+        raise ValueError(
+            f"NRTPU_COTANGENT_PRECISION={name!r}: use bf16|default|high|highest"
+        )
+    return name
+
+
 @contextlib.contextmanager
 def cotangent_precision():
     """Scope the staged twin's matmuls to the cotangent-grade precision."""
-    name = os.environ.get("NRTPU_COTANGENT_PRECISION", "default").lower()
-    if name not in _NAMES:
-        raise ValueError(
-            f"NRTPU_COTANGENT_PRECISION={name!r}: use default|high|highest"
-        )
-    token = _OVERRIDE.set(_NAMES[name])
+    token = _OVERRIDE.set(_NAMES[_cotangent_mode()])
     try:
         yield
     finally:
         _OVERRIDE.reset(token)
+
+
+def cotangent_vjp(fn, primals, g):
+    """``jax.vjp(fn, *primals)`` cotangent application at the configured
+    precision.
+
+    Mode ``bf16`` (the default) additionally casts float32 primals and the
+    incoming cotangent to bfloat16 ON TPU — the staged twin is HBM-bound at
+    training batch sizes, so halving its array bytes is worth more than the
+    dot passes; the decision math inside the twin still upcasts to f32
+    in-register (models.spectral_gate._mask_dtype) and the returned grads
+    are cast back to the primal dtypes. On CPU (parity tests, float64 runs)
+    the cast is skipped entirely, so cotangents there are bit-identical to
+    differentiating the staged twin directly.
+    """
+    from noisereduce_tpu.models.spectral_gate import _tpu_available
+
+    cast = (
+        _cotangent_mode() == "bf16"
+        and _tpu_available()
+        and all(p is None or p.dtype == jax.numpy.float32 for p in primals)
+    )
+
+    def prep(p):
+        if p is None:
+            return None
+        return p.astype(jax.numpy.bfloat16) if cast else p
+
+    args = tuple(prep(p) for p in primals)
+    with cotangent_precision():
+        _, vjp_fn = jax.vjp(fn, *args)
+        grads = vjp_fn(g.astype(args[0].dtype) if cast else g)
+    if cast:
+        grads = tuple(
+            None if (gr is None or p is None) else gr.astype(p.dtype)
+            for gr, p in zip(grads, primals)
+        )
+    return grads
