@@ -360,6 +360,51 @@ NRIO_API int64_t nrio_stream_next(void* handle, float* dst) {
   return ich;
 }
 
+// PCM16 sources only: fill dst (channels, chunk + 2*padding) with the next
+// halo'd chunk as RAW int16 samples (no float conversion) — the device feed
+// then ships HALF the bytes and the graph multiplies by 1/32768 on chip
+// (exact: every int16 is f32-representable and 2^-15 is a power of two, so
+// the product is bit-identical to the host conversion above). Returns the
+// chunk index, -1 when exhausted, or -2 for non-PCM16 sources (callers fall
+// back to the float32 stream).
+NRIO_API int64_t nrio_stream_next_i16(void* handle, int16_t* dst) {
+  auto* s = (NrioStream*)handle;
+  if (!(s->info.format == 1 && s->info.bits_per_sample == 16)) return -2;
+  const int64_t n = (int64_t)s->info.n_frames;
+  if (s->pos >= n) return -1;
+  const int64_t ich = s->pos / s->chunk;
+  const int64_t view = s->chunk + 2 * s->padding;
+  const int64_t ch = s->info.channels;
+
+  const int64_t want_start = s->pos - s->padding;
+  int64_t r_start = want_start < 0 ? 0 : want_start;
+  int64_t r_end = want_start + view;
+  if (r_end > n) r_end = n;
+  const int64_t r_frames = r_end - r_start;
+
+  memset(dst, 0, sizeof(int16_t) * (size_t)(ch * view));
+  if (r_frames > 0) {
+    const uint64_t bpf = (uint64_t)ch * 2;
+    fseek(s->f, (long)(s->info.data_offset + (uint64_t)r_start * bpf),
+          SEEK_SET);
+    std::vector<int16_t> inter((size_t)(r_frames * ch));
+    size_t got = fread(inter.data(), 2, inter.size(), s->f);
+    const int64_t r_got = (int64_t)(got / (size_t)ch);
+    const int64_t off = r_start - want_start;
+    for (int64_t t = 0; t < r_got; ++t)
+      for (int64_t c = 0; c < ch; ++c)
+        dst[c * view + off + t] = inter[(size_t)(t * ch + c)];
+  }
+  s->pos += s->chunk;
+  return ich;
+}
+
+// sample format probe: format * 100 + bits (e.g. 116 = PCM16, 332 = f32)
+NRIO_API int nrio_stream_format(void* handle) {
+  auto* s = (NrioStream*)handle;
+  return (int)s->info.format * 100 + (int)s->info.bits_per_sample;
+}
+
 NRIO_API void nrio_stream_close(void* handle) {
   auto* s = (NrioStream*)handle;
   if (s) {

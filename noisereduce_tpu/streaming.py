@@ -146,6 +146,38 @@ def _chunk_torch(chunk, xn, gate, method):
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "gate", "method", "mode", "padding", "chunk_size", "pcm_out"
+    ),
+)
+def _chunk_core(
+    x, thresh, xn, *, cfg, gate, method, mode, padding, chunk_size, pcm_out
+):
+    """One streamed chunk, everything on device: optional int16 feed
+    (multiply by 2^-15 — bit-identical to the host float conversion), the
+    gate, the core slice (D2H ships chunk_size instead of the halo'd
+    view), and the PCM16 quantize when the output file is PCM16 (trunc
+    after clip matches numpy's C-cast astype in WavWriter exactly)."""
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    if mode == "torch":
+        out = gate(x, xn, method=method)
+        deficit = x.shape[-1] - out.shape[-1]
+        if deficit:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, deficit)])
+    elif mode == "stationary":
+        out = gate_stationary(x, thresh, cfg, method=method)
+    else:
+        out = gate_nonstationary(x, cfg, method=method)
+    core = out[..., padding : padding + chunk_size]
+    if pcm_out:
+        q = jnp.clip(core * jnp.float32(32767.0), -32768.0, 32767.0)
+        return jnp.trunc(q).astype(jnp.int16)
+    return core
+
+
 # sharded twins: filter a (channels, n_dev·k, view) chunk batch over a mesh
 @functools.partial(
     jax.jit, static_argnames=("cfg", "method", "mesh", "axis_name")
@@ -216,8 +248,10 @@ def reduce_noise_file(
     ``mesh`` (a ``jax.sharding.Mesh``): chunks stream from disk in groups
     of ``mesh.shape[axis]`` and each sharded launch filters one chunk per
     device — hours-long recordings use every chip at constant host memory.
-    Output is identical to the single-device stream (chunks are
-    independent; halo recompute).
+    Output matches the single-device stream to f32 fusion-order
+    rounding (chunks are independent; halo recompute — the single-device
+    stream fuses the int16 feed and core slice into the gate launch, the
+    sharded batch graph compiles separately).
     """
     sr, _, n_frames_in = nrio.wav_info(in_path)
     cfg = GateConfig(
@@ -301,7 +335,10 @@ def reduce_noise_file(
         writer.close()
         return n_frames_in
 
-    chunks_iter = nrio.stream_chunks(in_path, chunk_size, padding)
+    # PCM16 sources stream as raw int16 (half the host->device bytes; the
+    # graph converts on device, bit-identically); other formats yield f32
+    chunks_iter = nrio.stream_chunks(in_path, chunk_size, padding,
+                                     dtype="int16")
     if use_tqdm:
         # progress over chunks, mirroring the reference's opt-in tqdm
         # (spectralgate/base.py:211)
@@ -349,6 +386,9 @@ def reduce_noise_file(
                 _drain()
 
         for _, chunk in chunks_iter:
+            if chunk.dtype == np.int16:  # int16 feed: host-convert for the
+                # sharded batch path (bit-identical to the f32 stream)
+                chunk = chunk.astype(np.float32) * np.float32(1.0 / 32768.0)
             pending.append(chunk)
             if len(pending) == n_dev:
                 _flush()
@@ -359,21 +399,37 @@ def reduce_noise_file(
         writer.close()
         return n_frames_in
 
-    # one-deep software pipeline: dispatch chunk i asynchronously, read
-    # chunk i+1 from disk (native reader) while the device computes, and
-    # only then synchronize (np.asarray = D2H) and write chunk i. IO and
-    # device compute overlap; writes stay in order; host memory stays at
-    # two chunks (reference semantics are per-chunk independent).
-    prev = None
+    # two-deep software pipeline with async D2H: dispatch chunk i, start
+    # its device->host copy without blocking, read chunk i+1 (and i+2) from
+    # disk while the device computes, and only block on chunk i when two
+    # newer chunks are in flight. The device graph also slices the core and
+    # quantizes to PCM16 (when the output is PCM16), and PCM16 sources feed
+    # the device as raw int16 — together the per-chunk transfer drops from
+    # (view + chunk) float32 to (view + chunk) int16, half the tunnel/PCIe
+    # bytes. Writes stay in order; host memory stays at ~3 chunks.
+    mode = "torch" if use_torch else ("stationary" if stationary else "ns")
+    pcm_out = not as_float
+
+    def dispatch(chunk):
+        x = jnp.asarray(chunk)  # (channels, view) int16 (PCM16) or float32
+        out = _chunk_core(
+            x, thresh, xn_t, cfg=cfg, gate=gate_t, method=method, mode=mode,
+            padding=padding, chunk_size=chunk_size, pcm_out=pcm_out,
+        )
+        try:
+            out.copy_to_host_async()
+        except Exception:  # pragma: no cover - backends without async D2H
+            pass
+        return out
+
+    from collections import deque
+
+    in_flight: deque = deque()
     for _, chunk in chunks_iter:
-        x = jnp.asarray(chunk)  # (channels, view) float32
-        out = _filter(x)        # async dispatch
-        if prev is not None:
-            writer.write(
-                np.asarray(prev[..., padding : padding + chunk_size]).T
-            )
-        prev = out
-    if prev is not None:
-        writer.write(np.asarray(prev[..., padding : padding + chunk_size]).T)
+        in_flight.append(dispatch(chunk))
+        if len(in_flight) > 2:
+            writer.write(np.asarray(in_flight.popleft()).T)
+    while in_flight:
+        writer.write(np.asarray(in_flight.popleft()).T)
     writer.close()
     return n_frames_in

@@ -65,6 +65,13 @@ def _load():
     lib.nrio_stream_rate.restype = ctypes.c_int
     lib.nrio_stream_next.argtypes = [ctypes.c_void_p, c_f32p]
     lib.nrio_stream_next.restype = c_i64
+    try:
+        lib.nrio_stream_next_i16.argtypes = [ctypes.c_void_p, c_i16p]
+        lib.nrio_stream_next_i16.restype = c_i64
+        lib.nrio_stream_format.argtypes = [ctypes.c_void_p]
+        lib.nrio_stream_format.restype = ctypes.c_int
+    except AttributeError:  # older prebuilt library without the i16 feed
+        pass
     lib.nrio_stream_close.argtypes = [ctypes.c_void_p]
     lib.nrio_stream_close.restype = None
     _lib = lib
@@ -265,7 +272,21 @@ class WavWriter:
         )
 
     def write(self, block) -> None:
-        block = np.asarray(block, dtype=np.float32)
+        block = np.asarray(block)
+        if block.dtype == np.int16 and not self._as_float:
+            # pre-quantized PCM16 (e.g. converted on-device by the
+            # streaming pipeline, matching this method's clip+truncate
+            # exactly): pass straight through
+            if block.ndim == 1:
+                block = block[:, None]
+            if block.shape[1] != self._channels:
+                raise ValueError("channel count mismatch")
+            take = min(len(block), self._expected - self._written)
+            block = block[:take]
+            self._f.write(np.ascontiguousarray(block).tobytes())
+            self._written += take
+            return
+        block = block.astype(np.float32, copy=False)
         if block.ndim == 1:
             block = block[:, None]
         if block.shape[1] != self._channels:
@@ -295,16 +316,30 @@ class WavWriter:
 
 
 def stream_chunks(
-    path: str, chunk_size: int, padding: int
+    path: str, chunk_size: int, padding: int, dtype: str = "float32"
 ) -> Iterator[Tuple[int, np.ndarray]]:
-    """Yield (chunk_index, (channels, chunk_size + 2*padding) float32) halo'd
+    """Yield (chunk_index, (channels, chunk_size + 2*padding)) halo'd
     chunks from a WAV file, zero-filled past the signal edges — identical
     geometry to the batch path (parallel/chunking.extract_chunks) and the
-    reference's per-chunk reads (base.py:130-148)."""
+    reference's per-chunk reads (base.py:130-148).
+
+    ``dtype="int16"`` yields RAW int16 chunks when the source is PCM16
+    (half the bytes on the host->device feed; the consumer multiplies by
+    1/32768 on device, which is bit-identical to the float32 stream —
+    int16 -> f32 is exact and 2^-15 is a power of two). Non-PCM16 sources
+    silently fall back to float32 chunks, so callers must key on the
+    yielded array's dtype."""
     lib = _load()
     view = chunk_size + 2 * padding
-    if lib is None:
-        rate, data = read_wav(path, dtype="float32")
+    want_i16 = dtype == "int16"
+    if lib is None or (want_i16 and not hasattr(lib, "nrio_stream_next_i16")):
+        if want_i16:
+            try:
+                rate, data = read_wav(path, dtype="int16")
+            except Exception:
+                rate, data = read_wav(path, dtype="float32")
+        else:
+            rate, data = read_wav(path, dtype="float32")
         del rate
         y = data.T if data.ndim == 2 else data[None]
         n = y.shape[-1]
@@ -319,11 +354,21 @@ def stream_chunks(
         raise IOError(f"nrio: cannot open {path!r}")
     try:
         channels = lib.nrio_stream_channels(h)
-        buf = np.empty((channels, view), dtype=np.float32)
+        use_i16 = (
+            want_i16
+            and hasattr(lib, "nrio_stream_format")
+            and lib.nrio_stream_format(h) == 116  # PCM16
+        )
+        if use_i16:
+            buf = np.empty((channels, view), dtype=np.int16)
+            ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+            step = lib.nrio_stream_next_i16
+        else:
+            buf = np.empty((channels, view), dtype=np.float32)
+            ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            step = lib.nrio_stream_next
         while True:
-            idx = lib.nrio_stream_next(
-                h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-            )
+            idx = step(h, ptr)
             if idx == -1:
                 break  # end of stream
             if idx < -1:

@@ -291,7 +291,10 @@ def test_file_on_mesh_matches_single_device(tmp_path, wav, stationary):
     reduce_noise_file(in_path, mesh_path, mesh=chunk_mesh(4), **kw)
     _, base = nrio.read_wav(base_path, dtype="float32")
     _, got = nrio.read_wav(mesh_path, dtype="float32")
-    np.testing.assert_array_equal(got, base)
+    # the single-device stream fuses the int16 feed + core slice into the
+    # gate graph (one launch per chunk); the sharded batch graph is
+    # compiled separately, so agreement is to f32 fusion-order rounding
+    np.testing.assert_allclose(got, base, atol=2e-7)
 
 
 def test_file_on_mesh_torch_path(tmp_path, wav):
@@ -308,7 +311,7 @@ def test_file_on_mesh_torch_path(tmp_path, wav):
     reduce_noise_file(in_path, mesh_path, mesh=chunk_mesh(4), **kw)
     _, base = nrio.read_wav(base_path, dtype="float32")
     _, got = nrio.read_wav(mesh_path, dtype="float32")
-    np.testing.assert_array_equal(got, base)
+    np.testing.assert_allclose(got, base, atol=2e-7)  # see comment above
 
 
 @pytest.mark.parametrize("stationary", [True, False])
