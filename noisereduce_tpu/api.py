@@ -116,6 +116,7 @@ def _run_stationary(
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
         extra=(thresh,), max_parallel_chunks=mpc,
+        cores=cores and y2d.shape[-1] > chunk_size,
     )
 
 
@@ -143,7 +144,7 @@ def _run_nonstationary(
     fn = lambda c: gate_nonstationary(c, cfg, method=method, use_pallas=use_pallas)
     return process_chunked(
         fn, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
-        max_parallel_chunks=mpc,
+        max_parallel_chunks=mpc, cores=cores and y2d.shape[-1] > chunk_size,
     )
 
 
@@ -151,12 +152,12 @@ def _run_nonstationary(
     jax.jit,
     static_argnames=(
         "gate", "chunk_size", "padding", "method", "mesh", "axis_name", "mpc",
-        "use_pallas",
+        "use_pallas", "cores",
     ),
 )
 def _run_torch_gate(
     y2d, y_noise, gate, chunk_size, padding, method, mesh=None,
-    axis_name="chunks", mpc=0, use_pallas="auto",
+    axis_name="chunks", mpc=0, use_pallas="auto", cores=False,
 ):
     def one(chunk, xn):
         # TPUGate returns torch's natural (shorter) istft length; the
@@ -180,6 +181,7 @@ def _run_torch_gate(
     return process_chunked(
         call, y2d, chunk_size, padding, mesh=mesh, axis_name=axis_name,
         extra=extra, max_parallel_chunks=mpc,
+        cores=cores and y2d.shape[-1] > chunk_size,
     )
 
 
@@ -603,7 +605,7 @@ def _reduce_noise_torch_path(
         )
     return _run_torch_gate(
         y2d, yn, gate, chunk_size, padding, method, mesh, axis_name,
-        max_parallel_chunks, use_pallas,
+        max_parallel_chunks, use_pallas, cores=True,
     )
 
 

@@ -64,17 +64,34 @@ def extract_chunks(
 
     Chunk i covers source samples [i*cs - padding, (i+1)*cs + padding),
     zero-filled outside [0, n) — exactly base.py:144-148 + 130-142.
+
+    The views are unrolled static slices (XLA TPU lowers a vmapped/rolled
+    gather worse — NOTES.md), and when ``chunk_size % 128 == 64`` (the
+    reference default) odd chunks slice a second 64-lane-shifted padded
+    copy so every per-chunk copy is 128-lane aligned — bit-identical
+    reads, same trick as the fused path's gather (ops.pallas.dispatch).
     """
     n = y.shape[-1]
     n_chunks = n_chunks_for(n, chunk_size)
-    ypad = pad_chunk_signal(y, chunk_size, padding)
     view = chunk_size + 2 * padding
-
-    def one(i):
-        return jax.lax.dynamic_slice_in_dim(ypad, i * chunk_size, view, axis=-1)
-
-    chunks = jax.vmap(one)(jnp.arange(n_chunks))  # (n_chunks, ..., view)
-    return jnp.moveaxis(chunks, 0, -2)
+    total = n_chunks * chunk_size
+    ypads = [pad_chunk_signal(y, chunk_size, padding)]
+    two_phase = chunk_size % 128 == 64 and padding >= 64
+    if two_phase:
+        ypads.append(jnp.pad(
+            y,
+            [(0, 0)] * (y.ndim - 1) + [(padding - 64, total - n + padding + 64)],
+        ))
+    parts = [
+        jax.lax.dynamic_slice_in_dim(
+            ypads[i % 2 if two_phase else 0],
+            i * chunk_size - (64 * (i % 2) if two_phase else 0),
+            view,
+            axis=-1,
+        )
+        for i in range(n_chunks)
+    ]
+    return jnp.stack(parts, axis=-2)
 
 
 def assemble_chunks(
@@ -179,6 +196,7 @@ def process_chunked(
     axis_name: str = "chunks",
     extra: tuple = (),
     max_parallel_chunks: int = 0,
+    cores: bool = False,
 ) -> jax.Array:
     """Apply ``filter_fn`` ((..., L) -> (..., L)) chunk-parallel over (..., n).
 
@@ -200,6 +218,12 @@ def process_chunked(
     with ``mesh``: each device scans its *local* chunks in groups, so the
     bound is per-device. Results match the batched path up to float
     rounding (XLA fuses the two programs differently; exact in float64).
+
+    ``cores=True`` returns the halo-trimmed (..., n_chunks, chunk_size)
+    cores instead of the flat signal — the device-side flatten of
+    non-tile-aligned rows is a relayout loop XLA pays per chunk, while
+    the host copy flattens for free (see ops.pallas.dispatch). The
+    unchunked fast path always returns flat (it has no chunk axis).
     """
     n = y.shape[-1]
     if n <= chunk_size:
@@ -217,8 +241,10 @@ def process_chunked(
             filtered = grouped_filter(filter_fn, chunks, extra, max_parallel_chunks)
         else:
             filtered = filter_fn(chunks, *extra)  # one batched launch
-        return assemble_chunks(filtered, chunk_size, padding, n)
-    sharded = shard_filter(
-        filter_fn, chunks, mesh, axis_name, extra, max_parallel_chunks
-    )
-    return assemble_chunks(sharded, chunk_size, padding, n)
+    else:
+        filtered = shard_filter(
+            filter_fn, chunks, mesh, axis_name, extra, max_parallel_chunks
+        )
+    if cores:
+        return filtered[..., padding : padding + chunk_size]
+    return assemble_chunks(filtered, chunk_size, padding, n)
