@@ -197,8 +197,19 @@ def main():
           f"~{(t_blocks - t_launch) * 1e3:.1f} ms", flush=True)
 
     # ---- C. in-kernel phase ablations (bf16, from prebuilt blocks) ---------
+    # CRITICAL METHODOLOGY NOTE (round 4): jax.jit reuses traces keyed on
+    # the wrapped FUNCTION OBJECT, so re-jitting the same `from_blocks`
+    # after monkeypatching the kernels silently reuses the UNSTUBBED trace
+    # — the original version of this script measured the full kernel five
+    # times and reported noise as phase deltas. Every ablation below must
+    # (a) clear the jit caches and (b) wrap a FRESH function object.
     def run_fromblocks():
-        f = jax.jit(from_blocks)
+        jax.clear_caches()
+
+        def fresh(b):  # new function object -> new trace
+            return from_blocks(b)
+
+        f = jax.jit(fresh)
         return timeit(f, blocks16)
 
     orig_istft = kn._apply_istft_kernel
