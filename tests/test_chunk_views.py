@@ -51,3 +51,28 @@ def test_extract_chunks_matches_reference_slices(shape, cs, pad):
     want = _reference_views(y, cs, pad)
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+def test_extract_chunks_two_phase_matches_naive():
+    """chunk_size % 128 == 64 triggers the phase-aligned gather (a second
+    64-lane-shifted padded copy for odd chunks); the views must be
+    bit-identical to naive per-chunk slicing of the padded signal."""
+    import jax.numpy as jnp
+
+    from noisereduce_tpu.parallel.chunking import (
+        extract_chunks, n_chunks_for, pad_chunk_signal,
+    )
+
+    rng = np.random.default_rng(11)
+    for chunk_size, padding, n in ((1088, 200, 5000), (1088, 64, 3265),
+                                   (1024, 200, 5000), (900, 100, 4321)):
+        y = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        got = np.asarray(extract_chunks(y, chunk_size, padding))
+        ypad = np.asarray(pad_chunk_signal(y, chunk_size, padding))
+        view = chunk_size + 2 * padding
+        k = n_chunks_for(n, chunk_size)
+        want = np.stack(
+            [ypad[:, i * chunk_size : i * chunk_size + view] for i in range(k)],
+            axis=1,
+        )
+        np.testing.assert_array_equal(got, want)

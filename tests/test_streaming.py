@@ -328,3 +328,57 @@ def test_file_use_torch_matches_in_memory(tmp_path, wav, stationary):
         chunk_size=20000, padding=3000, compute_dtype=np.float32,
     )
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# round 4: int16 device feed + on-device PCM16 quantize
+# ---------------------------------------------------------------------------
+def test_stream_chunks_int16_feed_bit_identical(tmp_path):
+    """PCM16 sources may stream as raw int16 (half the feed bytes); the
+    consumer's x * 2^-15 must reproduce the float32 stream bitwise."""
+    rng = np.random.default_rng(7)
+    y = (rng.standard_normal(50000) * 0.3).clip(-1, 1).astype(np.float32)
+    p = str(tmp_path / "pcm16.wav")
+    nrio.write_wav(p, y, SR)  # PCM16
+    f32 = list(nrio.stream_chunks(p, 12000, 2000, dtype="float32"))
+    i16 = list(nrio.stream_chunks(p, 12000, 2000, dtype="int16"))
+    assert len(f32) == len(i16)
+    for (ia, a), (ib, b) in zip(f32, i16):
+        assert ia == ib
+        assert a.dtype == np.float32
+        if b.dtype == np.int16:  # native lib present / PCM16 detected
+            conv = b.astype(np.float32) * np.float32(1.0 / 32768.0)
+        else:  # fallback already yielded float32
+            conv = b
+        np.testing.assert_array_equal(conv, a)
+
+
+def test_stream_chunks_int16_falls_back_for_float_wavs(tmp_path, wav):
+    in_path, _ = wav  # written as_float=True -> IEEE float32 source
+    got = list(nrio.stream_chunks(in_path, 20000, 3000, dtype="int16"))
+    assert all(c.dtype == np.float32 for _, c in got)
+
+
+def test_pcm16_output_matches_host_quantize(tmp_path, wav):
+    """The on-device trunc-after-clip PCM16 quantize must equal the host
+    writer's numpy C-cast conversion sample-for-sample."""
+    in_path, y = wav
+    out16 = str(tmp_path / "o16.wav")
+    outf = str(tmp_path / "of.wav")
+    kw = dict(chunk_size=20000, padding=3000)
+    reduce_noise_file(in_path, out16, **kw)               # PCM16 (device quantize)
+    reduce_noise_file(in_path, outf, as_float=True, **kw)  # f32 (host values)
+    _, got16 = nrio.read_wav(out16, dtype="int16")
+    _, gotf = nrio.read_wav(outf, dtype="float32")
+    want16 = np.clip(gotf * 32767.0, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got16, want16)
+
+
+def test_writer_accepts_prequantized_int16(tmp_path):
+    p = str(tmp_path / "w.wav")
+    q = (np.arange(-100, 100, dtype=np.int16))[:, None]
+    w = nrio.WavWriter(p, SR, 1, len(q), as_float=False)
+    w.write(q)
+    w.close()
+    _, back = nrio.read_wav(p, dtype="int16")
+    np.testing.assert_array_equal(back[:, None] if back.ndim == 1 else back, q)
