@@ -161,6 +161,74 @@ def _torchgate_kernel_svd_np(n_grad_freq: int, n_grad_time: int):
     return (u[:, :r] * s[:r]).T.copy(), vt[:r].copy()
 
 
+# ---------------------------------------------------------------------------
+# Banded-matmul lowering of the small "same" convolutions
+#
+# XLA's TPU conv_general_dilated on the tall-skinny mask shapes here is
+# HBM/layout-bound at ~6x its byte roofline (device trace, NOTES.md round 4:
+# the staged cotangent twin spent ~9 ms of a ~20 ms b256 training step in
+# these convs whose FLOPs round to zero). A dense banded matrix B with the
+# taps on its diagonals computes the identical sums as one MXU matmul per
+# axis. O(L^2) FLOPs/bytes instead of O(L*k), so it is gated on L (the mask
+# axes are a few hundred to ~2k; the chunked staged path's ~5.5k-frame time
+# axis keeps the conv).
+# ---------------------------------------------------------------------------
+_BAND_MM_MAX_LEN = 4096
+
+
+def _band_mm_enabled(length: int) -> bool:
+    import os
+
+    env = os.environ.get("NRTPU_SMOOTH_MM", "auto").lower()
+    if env in ("0", "conv", "off"):
+        return False
+    if env in ("1", "mm", "on"):
+        return True
+    if env != "auto":
+        raise ValueError(f"NRTPU_SMOOTH_MM={env!r}: use auto|mm|conv")
+    from noisereduce_tpu.models.spectral_gate import _tpu_available
+
+    return length <= _BAND_MM_MAX_LEN and _tpu_available()
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix_np(taps: tuple, length: int, pad_left: int) -> np.ndarray:
+    """Dense float64 band matrix: (B @ x)[i] = sum_k taps[k]*x[i+k-pad_left],
+    reading x as zero outside [0, length) — exactly the 'same'-padded
+    cross-correlation the lax convs above compute."""
+    b = np.zeros((length, length), np.float64)
+    idx = np.arange(length)
+    for k, t in enumerate(taps):
+        off = k - pad_left
+        src = idx + off
+        ok = (src >= 0) & (src < length)
+        b[idx[ok], src[ok]] = t
+    return b
+
+
+def _band_acc(dtype):
+    return jnp.float32 if dtype in (jnp.float32, jnp.bfloat16) else dtype
+
+
+def _band_mm_last(x: jax.Array, b_np: np.ndarray) -> jax.Array:
+    """Apply a band matrix along the last axis: out[..., i] = (B @ x)[i]."""
+    bt = jnp.asarray(b_np.T, x.dtype)
+    return jnp.matmul(
+        x, bt, preferred_element_type=_band_acc(x.dtype),
+        precision=staged_precision(),
+    ).astype(x.dtype)
+
+
+def _band_mm_rows(x: jax.Array, b_np: np.ndarray) -> jax.Array:
+    """Apply a band matrix along axis -2 of (..., h, w)."""
+    b = jnp.asarray(b_np, x.dtype)
+    return jnp.einsum(
+        "ij,...jw->...iw", b, x,
+        preferred_element_type=_band_acc(x.dtype),
+        precision=staged_precision(),
+    ).astype(x.dtype)
+
+
 def smooth_mask_2d_torchgate(
     mask: jax.Array,
     n_grad_freq: int,
@@ -175,7 +243,8 @@ def smooth_mask_2d_torchgate(
     Implemented as an SVD-separable pair of 1-D convs with the SVD rank as
     the channel axis (one row-conv fanning out to r channels, one col-conv
     contracting them) — ~40× faster on TPU than the naive 2-D conv, within
-    ~3e-11 of it.
+    ~3e-11 of it. On TPU the 1-D convs lower further to banded MXU matmuls
+    (identical sums; see _band_matrix_np) when the axes fit.
     """
     rows_np, cols_np = _torchgate_kernel_svd_np(n_grad_freq, n_grad_time)
     if time_major:
@@ -187,6 +256,26 @@ def smooth_mask_2d_torchgate(
     _, kt = cols_np.shape
     batch_shape = mask.shape[:-2]
     h, w = mask.shape[-2], mask.shape[-1]
+    if _band_mm_enabled(max(h, w)):
+        # out = sum_r (Br @ x) @ Cr^T as two rank-batched MXU einsums
+        br_np = np.stack(
+            [_band_matrix_np(tuple(rows_np[i]), h, pr) for i in range(r)]
+        )
+        ct_np = np.stack(
+            [_band_matrix_np(tuple(cols_np[i]), w, pc).T for i in range(r)]
+        )
+        xb = mask.reshape((-1, h, w))
+        acc = _band_acc(mask.dtype)
+        prec = staged_precision()
+        mid = jnp.einsum(
+            "rij,bjw->briw", jnp.asarray(br_np, mask.dtype), xb,
+            preferred_element_type=acc, precision=prec,
+        ).astype(mask.dtype)
+        out = jnp.einsum(
+            "briw,rwv->biv", mid, jnp.asarray(ct_np, mask.dtype),
+            preferred_element_type=acc, precision=prec,
+        ).astype(mask.dtype)
+        return out.reshape(batch_shape + (h, w))
     xb = mask.reshape((-1, 1, h, w))
     # (r,1,kf,1): fan out to r channels, each convolved with σᵢ·uᵢ over rows
     k_rows = jnp.asarray(rows_np, mask.dtype).reshape(r, 1, kf, 1)
@@ -221,31 +310,38 @@ def smooth_mask(
     v_f, v_t = _smoothing_vectors_np(n_grad_freq, n_grad_time)
     batch_shape = mask.shape[:-2]
     h, w = mask.shape[-2], mask.shape[-1]
-    xb = mask.reshape((-1, 1, h, w))
     if time_major:
-        pads = [(n_grad_time, n_grad_time), (n_grad_freq, n_grad_freq)]
         vr, vc = v_t, v_f
+        pr, pc = n_grad_time, n_grad_freq
     else:
-        pads = [(n_grad_freq, n_grad_freq), (n_grad_time, n_grad_time)]
         vr, vc = v_f, v_t
-    # separable: two 1-D convs (rank-1 kernel), each along one spatial dim
-    out = xb
+        pr, pc = n_grad_freq, n_grad_time
+    # separable: two 1-D passes (rank-1 kernel), each along one spatial dim;
+    # each pass lowers to a banded MXU matmul on TPU when its axis fits,
+    # else a lax conv (identical sums either way)
+    out = mask.reshape((-1, h, w))
     if len(vr) > 1:
-        out = jax.lax.conv_general_dilated(
-            out,
-            jnp.asarray(vr, mask.dtype).reshape(1, 1, -1, 1),
-            (1, 1),
-            [pads[0], (0, 0)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
+        if _band_mm_enabled(h):
+            out = _band_mm_rows(out, _band_matrix_np(tuple(vr), h, pr))
+        else:
+            out = jax.lax.conv_general_dilated(
+                out[:, None],
+                jnp.asarray(vr, mask.dtype).reshape(1, 1, -1, 1),
+                (1, 1),
+                [(pr, pr), (0, 0)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )[:, 0]
     if len(vc) > 1:
-        out = jax.lax.conv_general_dilated(
-            out,
-            jnp.asarray(vc, mask.dtype).reshape(1, 1, 1, -1),
-            (1, 1),
-            [(0, 0), pads[1]],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
+        if _band_mm_enabled(w):
+            out = _band_mm_last(out, _band_matrix_np(tuple(vc), w, pc))
+        else:
+            out = jax.lax.conv_general_dilated(
+                out[:, None],
+                jnp.asarray(vc, mask.dtype).reshape(1, 1, 1, -1),
+                (1, 1),
+                [(0, 0), (pc, pc)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )[:, 0]
     return out.reshape(batch_shape + (h, w))
 
 
@@ -422,10 +518,19 @@ def moving_average_same(x: jax.Array, n: int, axis: int = -1) -> jax.Array:
     right = (n - 1) - left
     kernel = np.full(n, 1.0 / n, dtype=np.float64)
     if axis == -1:
+        if _band_mm_enabled(x.shape[-1]):
+            return _band_mm_last(
+                x, _band_matrix_np(tuple(kernel), x.shape[-1], left)
+            )
         return _conv1d_same_last(x, kernel, left, right)
     assert axis == -2
     batch_shape = x.shape[:-2]
     h, w = x.shape[-2], x.shape[-1]
+    if _band_mm_enabled(h):
+        out = _band_mm_rows(
+            x.reshape((-1, h, w)), _band_matrix_np(tuple(kernel), h, left)
+        )
+        return out.reshape(batch_shape + (h, w))
     xb = x.reshape((-1, 1, h, w))
     kern = jnp.asarray(kernel, dtype=x.dtype).reshape((1, 1, n, 1))
     out = jax.lax.conv_general_dilated(
