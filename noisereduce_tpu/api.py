@@ -311,6 +311,7 @@ def reduce_noise(
     method="auto",
     mesh=None,
     max_parallel_chunks=0,
+    _defer=False,
 ):
     """Reduce noise via spectral gating (reference noisereduce.py:13-185).
 
@@ -532,12 +533,21 @@ def reduce_noise(
                 cores=True,
             )
 
+    if _defer:
+        # reduce_noise_batch pipelining: hand back the (possibly still
+        # in-flight) device output plus what _finalize_reduce_output needs,
+        # so the caller can queue more launches before any host sync
+        return out, (out_dtype, flat, int(y2d.shape[-1]))
+    return _finalize_reduce_output(out, out_dtype, flat, int(y2d.shape[-1]))
+
+
+def _finalize_reduce_output(out, out_dtype, flat, n_samples):
     out = np.asarray(out)
     if out.ndim == 3:
         # fused chunked path returned (ch, k_pad, chunk_size) cores: the
         # flatten that is a tile-misaligned relayout loop on device (~6.5
         # ms/960 s) is a free view on the host copy
-        out = out.reshape(out.shape[0], -1)[:, : y2d.shape[-1]]
+        out = out.reshape(out.shape[0], -1)[:, :n_samples]
     out = out.astype(out_dtype)
     return out.flatten() if flat else out
 
@@ -620,7 +630,10 @@ def reduce_noise_batch(ys, sr, y_noise=None, **kwargs):
     math is row-independent, so each signal's output is exactly what the
     per-signal call produces, while per-launch overhead (the dominant cost
     for short clips; see BASELINE.md's batch-4 row) amortizes across the
-    group. The reference has no batch entry point — its joblib pool
+    group. All group launches are dispatched before any result is pulled
+    back to the host (JAX dispatch is async), so a heterogeneous batch
+    pipelines its device work instead of paying a launch+sync round trip
+    per group. The reference has no batch entry point — its joblib pool
     (spectralgate/base.py:206-216) parallelizes chunks of one recording,
     not independent recordings.
 
@@ -669,18 +682,43 @@ def reduce_noise_batch(ys, sr, y_noise=None, **kwargs):
     out: list = [None] * len(ys)
     if not batchable:
         # per-signal noise statistics: thresholds differ per row, so the
-        # launches do too
-        for i, y in enumerate(ys):
-            yn = y_noise[i] if per_signal_noise else None
-            out[i] = reduce_noise(y=y, sr=sr, y_noise=yn, **kwargs)
-        return out
+        # launches do too — but they still PIPELINE: every launch is queued
+        # (deferred) before the first result is pulled to the host, so
+        # device work for signal i+1 overlaps the transfer/sync of signal i
+        pending = [
+            reduce_noise(
+                y=y, sr=sr,
+                y_noise=y_noise[i] if per_signal_noise else None,
+                _defer=True, **kwargs,
+            )
+            for i, y in enumerate(ys)
+        ]
+        return [_finalize_reduce_output(o, *meta) for o, meta in pending]
 
     groups: dict = {}
     for i, y in enumerate(ys):
         groups.setdefault((y.shape[0], y.dtype), []).append(i)
+    # dispatch every group's launch before materializing any result: JAX
+    # dispatch is async, so a heterogeneous batch (several (length, dtype)
+    # groups) pipelines its device work instead of paying one
+    # launch+sync round trip per group. The cost is every group's output
+    # staying resident until the final gather — short serving clips, not
+    # hours of audio.
+    pending = []
     for (_, _), idx in groups.items():
         block = np.stack([ys[i] for i in idx])  # (B, n)
-        res = reduce_noise(y=block, sr=sr, y_noise=y_noise, **kwargs)
+        pending.append(
+            (idx, reduce_noise(y=block, sr=sr, y_noise=y_noise,
+                               _defer=True, **kwargs))
+        )
+    for _, (o, _) in pending:
+        # queue every group's D2H before materializing any result, so
+        # transfers overlap trailing compute (and each other, where the
+        # interconnect allows)
+        if hasattr(o, "copy_to_host_async"):
+            o.copy_to_host_async()
+    for idx, (o, meta) in pending:
+        res = _finalize_reduce_output(o, *meta)
         for row, i in enumerate(idx):
             out[i] = res[row]
     return out
