@@ -363,6 +363,54 @@ def _measure_tpu(extras):
     except Exception as e:
         extras["bf16_error"] = repr(e)[:120]
 
+    # --- training-step throughput (TPUGate fwd+bwd, batch 256 x 4 s) ---------
+    # fused primal + staged bf16 cotangent with banded-mm smoothing (the
+    # production training configuration; BASELINE.md training rows)
+    try:
+        from noisereduce_tpu.models.tpu_gate import TPUGate
+
+        g2 = TPUGate(sr=16000, nonstationary=True)
+        xb = jax.device_put(
+            jnp.asarray(
+                rng.standard_normal((256, 16000 * 4)), jnp.float32
+            ),
+            dev,
+        )
+
+        @jax.jit
+        def train_step(x):
+            loss, grads = jax.value_and_grad(
+                lambda xx: jnp.mean(g2(xx) ** 2)
+            )(x)
+            return loss + jnp.sum(grads)
+
+        t_tr = timeit(train_step, xb, reps=4)
+        extras["train_b256_rtf"] = round(256 * 4 / t_tr, 1)
+        del xb
+    except Exception as e:
+        extras["train_probe_error"] = repr(e)[:120]
+
+    # --- batch serving (32 x 15 s clips, one launch, bf16 fast mode) ---------
+    try:
+        yb = jax.device_put(
+            jnp.asarray(
+                rng.standard_normal((32, SR * 15)), jnp.float32
+            ),
+            dev,
+        ).astype(jnp.bfloat16)
+
+        @jax.jit
+        def batch_fn(y):
+            out = _run_nonstationary(y, cfg, CHUNK, PAD, "matmul",
+                                     cores=True)
+            return jnp.sum(out[..., ::1999].astype(jnp.float32))
+
+        t_b = timeit(batch_fn, yb, reps=4)
+        extras["batch_32x15s_bf16_rtf"] = round(32 * 15 / t_b, 1)
+        del yb
+    except Exception as e:
+        extras["batch_probe_error"] = repr(e)[:120]
+
     return rtf
 
 
