@@ -25,8 +25,8 @@ try:
     import torch
 except ImportError as _e:  # pragma: no cover - torch present in CI image
     raise ImportError(
-        "TorchGate is not available. Install noisereduce with the torch "
-        "extra (pip install noisereduce[pytorch]) to use the torch-compat "
+        "TorchGate is not available. Install noisereduce-tpu with the torch "
+        "extra (pip install 'noisereduce-tpu[torch]') to use the torch-compat "
         "module."
     ) from _e
 

