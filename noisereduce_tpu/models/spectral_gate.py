@@ -142,6 +142,21 @@ def stationary_noise_threshold(
     return mean + std * cfg.n_std_thresh_stationary  # (..., n_bins)
 
 
+def _align_thresh(noise_thresh: jax.Array, zdb_ndim: int) -> jax.Array:
+    """Broadcast a per-frequency threshold against (..., frames, bins) dB
+    spectra. 1-D ``(bins,)`` thresholds broadcast as-is (one threshold for
+    every row — the reference's only case). Per-row ``(B, ..., bins)``
+    thresholds (reduce_noise_batch: one set of noise statistics per batched
+    signal) left-align their batch axes with the spectra's leading axes —
+    the frames axis, and any chunk/group axes the chunking combinator
+    added, are inserted as broadcast axes just before bins."""
+    if noise_thresh.ndim <= 1:
+        return noise_thresh
+    n_new = zdb_ndim - noise_thresh.ndim
+    shape = noise_thresh.shape[:-1] + (1,) * n_new + noise_thresh.shape[-1:]
+    return noise_thresh.reshape(shape)
+
+
 def gate_stationary(
     chunk: jax.Array,
     noise_thresh: jax.Array,
@@ -154,6 +169,11 @@ def gate_stationary(
     On TPU with supported geometry the whole gate runs as two fused Pallas
     kernels + a banded matmul (ops/pallas_pipeline.py), like the
     non-stationary path; otherwise the staged jnp pipeline below.
+
+    ``noise_thresh``: ``(bins,)`` (shared, the reference semantics) or
+    per-row ``(B, bins)`` with B = the leading axis of ``chunk`` (batched
+    serving: independent signals ride the channel axis, each with its own
+    noise statistics).
     """
     if use_pallas is not False and chunk.dtype in (jnp.float32, jnp.bfloat16):
         from noisereduce_tpu.ops.pallas_pipeline import (
@@ -187,7 +207,8 @@ def _gate_stationary_jnp(
         top_db=80.0, axis=-2,
     )
     # mask where the signal rises above the per-frequency noise threshold
-    mask = (Z_db > noise_thresh.astype(ddt)).astype(ddt)
+    thresh = _align_thresh(noise_thresh.astype(ddt), Z_db.ndim)
+    mask = (Z_db > thresh).astype(ddt)
     # prop_decrease blend FIRST (stationary-path order)
     mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
     smoothing = cfg.smoothing

@@ -240,9 +240,8 @@ def _merged_gate_from_blocks(
                 jnp.asarray(inv_np),
             )
     else:
-        thr_tiles = _thr_lane_layout(noise_thresh, n_bins, n_tiles, halo)
-        thr_spec = pl.BlockSpec(
-            (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        thr_tiles, thr_spec = _thr_tiles_and_spec(
+            noise_thresh, n_bins, n_tiles, B, halo
         )
         ask = functools.partial(
             _as_kernel, **common,
@@ -299,6 +298,34 @@ def _merged_gate_from_blocks(
     return _scipy_istft_tail(
         out_blocks, scfg, n_frames, out_slice, norm_done=True
     )
+
+
+def _thr_tiles_and_spec(noise_thresh, n_bins, n_tiles, B, halo=_HALO):
+    """Threshold operand + BlockSpec for the stationary kernels.
+
+    Shared ``(bins,)`` thresholds become (n_tiles, 8, _FT) tiles indexed by
+    the F-tile grid axis alone. Per-row ``(B, bins)`` thresholds (batched
+    serving: one set of noise statistics per signal) become
+    (B·n_tiles, 8, _FT) with grid row i reading its own tile block — the
+    per-cell kernel body is unchanged, so each row's output is bitwise
+    what the single-row call produces."""
+    thr_tiles = _thr_lane_layout(noise_thresh, n_bins, n_tiles, halo)
+    if noise_thresh.ndim == 1:
+        spec = pl.BlockSpec(
+            (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        return thr_tiles, spec
+    assert noise_thresh.ndim == 2 and noise_thresh.shape[0] == B, (
+        noise_thresh.shape,
+        B,
+    )
+    thr_tiles = thr_tiles.reshape(B * n_tiles, 8, _FT)
+    spec = pl.BlockSpec(
+        (1, 8, _FT),
+        lambda i, j: (i * n_tiles + j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return thr_tiles, spec
 
 
 def _scipy_istft_tail(out_blocks, scfg, n_frames, out_slice=None,
@@ -567,6 +594,17 @@ def _fused_gate_impl(chunk, cfg, interpret, noise_thresh=None):
     batch_shape = chunk.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
 
+    if noise_thresh is not None and noise_thresh.ndim > 1:
+        # per-row thresholds: left-align their batch axes with the chunk's
+        # (reduce_noise_batch), then flatten to one row per kernel grid row
+        nb = noise_thresh.shape[-1]
+        t = noise_thresh.reshape(
+            noise_thresh.shape[:-1]
+            + (1,) * (len(batch_shape) + 1 - noise_thresh.ndim)
+            + (nb,)
+        )
+        noise_thresh = jnp.broadcast_to(t, batch_shape + (nb,)).reshape(B, nb)
+
     x = chunk.reshape(B, n_samples).astype(jnp.float32)
     win, hop, r, n_frames, n_blocks, t_pad, nb_pad, ext, n_tiles = _geometry(
         scfg, n_samples
@@ -700,9 +738,9 @@ def _fused_gate_from_blocks(
     else:
         # stationary: per-bin dB threshold, gathered into the overlapped
         # tile layout, row-replicated to a full (8, _FT) tile per tile
-        thr_tiles = _thr_lane_layout(noise_thresh, n_bins, n_tiles)
-        thr_spec = pl.BlockSpec(
-            (1, 8, _FT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        # (per-row (B, bins) thresholds get a tile block per grid row)
+        thr_tiles, thr_spec = _thr_tiles_and_spec(
+            noise_thresh, n_bins, n_tiles, B
         )
         ask = functools.partial(
             _as_kernel,
@@ -950,6 +988,12 @@ def _fused_chunked_impl(
         cores — the per-chunk kernel body shared by the single-launch,
         grouped-scan, and mesh-sharded paths."""
         cch, kk = seg.shape[0], seg.shape[1]
+        if thr is not None and thr.ndim == 2:
+            # per-row thresholds (batched serving): every chunk of signal
+            # row c gates against row c's statistics
+            thr = jnp.broadcast_to(
+                thr[:, None, :], (cch, kk, thr.shape[-1])
+            ).reshape(cch * kk, thr.shape[-1])
         if bpad % hop == 0:
             # scipy's per-chunk boundary zeros (positions outside
             # [bpad, bpad + view)) and the row padding are applied by the

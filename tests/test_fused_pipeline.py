@@ -205,6 +205,51 @@ def test_fused_stationary_matches_staged(name, n, sr, batch, kw):
     assert dev <= 5e-5 * scale, f"{name}: rel dev {dev / scale:.3e}"
 
 
+def test_fused_stationary_per_row_thresholds_bitwise():
+    """A (B, bins) per-row threshold gates each row exactly as the
+    single-row fused call does (batched serving, VERDICT r4 #3): the kernel
+    grid row reads its own threshold tile, the per-cell body is unchanged."""
+    cfg = GateConfig(sr=44100, stationary=True)
+    B, n = 3, 30000
+    x = jnp.asarray(RNG.standard_normal((B, n)), jnp.float32)
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+
+    thr = stationary_noise_threshold(
+        x[:, :20000] * jnp.asarray([0.5, 1.0, 2.0])[:, None], cfg,
+        method="matmul", use_pallas=False,
+    )
+    assert thr.shape[0] == B and thr.ndim == 2
+    got = np.asarray(_fused_gate_impl(x, cfg, interpret=True, noise_thresh=thr))
+    for b in range(B):
+        want = np.asarray(
+            _fused_gate_impl(x[b], cfg, interpret=True, noise_thresh=thr[b])
+        )
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_fused_chunked_per_row_thresholds_bitwise():
+    """Per-row thresholds through the whole-body fused CHUNKED path: every
+    chunk of signal row b gates against row b's statistics, bitwise equal to
+    the single-signal chunked call."""
+    from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
+    from noisereduce_tpu.ops.pallas_pipeline import fused_gate_chunked
+
+    cfg = GateConfig(sr=44100, stationary=True)
+    B, n, cs, pad = 2, 40000, 16000, 2048
+    x = jnp.asarray(RNG.standard_normal((B, n)), jnp.float32)
+    thr = stationary_noise_threshold(
+        x[:, :cs], cfg, method="matmul", use_pallas=False
+    )
+    got = np.asarray(
+        fused_gate_chunked(x, cfg, cs, pad, noise_thresh=thr, interpret=True)
+    )
+    for b in range(B):
+        want = np.asarray(fused_gate_chunked(
+            x[b : b + 1], cfg, cs, pad, noise_thresh=thr[b], interpret=True
+        ))[0]
+        np.testing.assert_array_equal(got[b], want)
+
+
 def test_fused_stationary_threshold_matches_staged():
     from noisereduce_tpu.models.spectral_gate import stationary_noise_threshold
     from noisereduce_tpu.ops.pallas_pipeline import fused_stationary_threshold
