@@ -127,11 +127,12 @@ def _roofline_extras(extras, prefix, t_wall, t_launch, fast):
     extras[f"{prefix}_mfu"] = round(flops / t_onchip / _PEAK_BF16_FLOPS, 3)
 
 
-def _phase_attribution(extras, fn, y, reps=3):
-    """Device-trace per-phase attribution of the headline graph (VERDICT r3
-    item 1): bucket every device op's time into kernel / data-movement /
-    checksum, and report the fraction of the module span the named buckets
-    cover. jax.profiler traces work through the remote tunnel (NOTES.md)."""
+def _phase_attribution(extras, fn, y, reps=3, prefix=""):
+    """Device-trace per-phase attribution of a headline graph (VERDICT r3
+    item 1; r4 item 2 extends it to the f32 default path via ``prefix``):
+    bucket every device op's time into kernel / data-movement / checksum,
+    and report the fraction of the module span the named buckets cover.
+    jax.profiler traces work through the remote tunnel (NOTES.md)."""
     import glob
     import gzip
     import tempfile
@@ -146,7 +147,7 @@ def _phase_attribution(extras, fn, y, reps=3):
             os.path.join(td, "**", "*.trace.json.gz"), recursive=True
         )
         if not paths:
-            extras["phase_note"] = "no trace captured"
+            extras[prefix + "phase_note"] = "no trace captured"
             return
         with gzip.open(sorted(paths)[-1], "rt") as f:
             data = json.load(f)
@@ -183,12 +184,12 @@ def _phase_attribution(extras, fn, y, reps=3):
         else:
             buckets["other"] += us
     named = sum(buckets.values())
-    extras["phase_ms_per_run"] = {
+    extras[prefix + "phase_ms_per_run"] = {
         k: round(v / reps / 1e3, 3) for k, v in buckets.items()
     }
-    extras["phase_module_ms_per_run"] = round(module_us / reps / 1e3, 3)
+    extras[prefix + "phase_module_ms_per_run"] = round(module_us / reps / 1e3, 3)
     if module_us:
-        extras["phase_attributed_frac"] = round(named / module_us, 3)
+        extras[prefix + "phase_attributed_frac"] = round(named / module_us, 3)
 
 
 def _measure_tpu(extras):
@@ -256,11 +257,16 @@ def _measure_tpu(extras):
     rtf = DURATION_S / t_head
 
     # trace-backed per-phase attribution of the headline graph (never let
-    # a profiler hiccup cost the headline)
+    # a profiler hiccup cost the headline) — and of the f32 DEFAULT path
+    # (what reduce_noise gives users with no kwargs; VERDICT r4 item 2)
     try:
         _phase_attribution(extras, fused, y_bf16)
     except Exception as e:
         extras["phase_probe_error"] = repr(e)[:120]
+    try:
+        _phase_attribution(extras, fused, y960, prefix="f32_")
+    except Exception as e:
+        extras["f32_phase_probe_error"] = repr(e)[:120]
 
     # per-launch overhead of the execution environment (an empty jit call):
     # ~31 ms through this remote tunnel, ~47% of the headline wall time.
@@ -390,6 +396,48 @@ def _measure_tpu(extras):
     except Exception as e:
         extras["train_probe_error"] = repr(e)[:120]
 
+    # --- gradient contract of the training default (VERDICT r4 item 1) -------
+    # The default cotangent runs the staged twin in bf16 on TPU
+    # (NRTPU_COTANGENT_PRECISION=bf16, ops/precision.py). Measure its
+    # deviation against the HIGH cotangent ON DEVICE every round and assert
+    # the documented envelope — the framework's default grads carry a pinned
+    # accuracy contract, like its forward paths.
+    try:
+        from noisereduce_tpu.models.tpu_gate import TPUGate
+
+        g3 = TPUGate(sr=16000, nonstationary=True)
+        xg = jax.device_put(
+            jnp.asarray(rng.standard_normal((16, 16000 * 4)), jnp.float32),
+            dev,
+        )
+
+        def grads_with_mode(mode):
+            # the mode is read at trace time inside the custom VJP; a fresh
+            # jit closure per mode forces a fresh trace under that env
+            prev = os.environ.get("NRTPU_COTANGENT_PRECISION")
+            os.environ["NRTPU_COTANGENT_PRECISION"] = mode
+            try:
+                @jax.jit
+                def gf(x):
+                    return jax.grad(lambda xx: jnp.mean(g3(xx) ** 2))(x)
+
+                return np.asarray(gf(xg), np.float64)
+            finally:
+                if prev is None:
+                    os.environ.pop("NRTPU_COTANGENT_PRECISION", None)
+                else:
+                    os.environ["NRTPU_COTANGENT_PRECISION"] = prev
+
+        gb = grads_with_mode("bf16")
+        gh = grads_with_mode("high")
+        rel_g = float(np.abs(gb - gh).max() / max(np.abs(gh).max(), 1e-30))
+        # measured ~2e-2 max-rel (NOTES.md round-4/5); beyond 5e-2 means the
+        # cotangent plumbing regressed
+        assert rel_g < 5e-2, f"bf16 vs HIGH cotangent rel dev {rel_g}"
+        extras["grad_bf16_vs_high_rel_dev"] = round(rel_g, 6)
+    except Exception as e:
+        extras["grad_probe_error"] = repr(e)[:160]
+
     # --- batch serving (32 x 15 s clips, one launch, bf16 fast mode) ---------
     try:
         yb = jax.device_put(
@@ -407,6 +455,15 @@ def _measure_tpu(extras):
 
         t_b = timeit(batch_fn, yb, reps=4)
         extras["batch_32x15s_bf16_rtf"] = round(32 * 15 / t_b, 1)
+        # make the batch-serving claim falsifiable from the artifact
+        # (VERDICT r4 item 3): carry the row's own wall/launch split so the
+        # on-chip throughput is a recorded number, not prose
+        extras["batch_32x15s_bf16_wall_ms"] = round(t_b * 1e3, 2)
+        t_launch_b = extras.get("launch_overhead_ms")
+        if t_launch_b is not None and t_b * 1e3 > t_launch_b * 1.05:
+            extras["batch_32x15s_bf16_onchip_rtf_est"] = round(
+                32 * 15 / (t_b - t_launch_b / 1e3), 1
+            )
         del yb
     except Exception as e:
         extras["batch_probe_error"] = repr(e)[:120]
