@@ -13,7 +13,7 @@ Public surface:
 from noisereduce_tpu.api import reduce_noise, reduce_noise_batch
 from noisereduce_tpu.config import GateConfig, StftConfig, Convention
 from noisereduce_tpu.models.tpu_gate import TPUGate
-from noisereduce_tpu.streaming import reduce_noise_file
+from noisereduce_tpu.streaming import StreamingGate, reduce_noise_file
 from noisereduce_tpu.utils.audio import int16_to_float32, float32_to_int16
 from noisereduce_tpu.utils.noise import (
     band_limited_noise,
@@ -37,6 +37,7 @@ __all__ = [
     "reduce_noise",
     "reduce_noise_batch",
     "reduce_noise_file",
+    "StreamingGate",
     "TPUGate",
     "GateConfig",
     "StftConfig",

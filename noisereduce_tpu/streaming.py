@@ -31,7 +31,7 @@ from noisereduce_tpu.models.spectral_gate import (
 from noisereduce_tpu.parallel.chunking import shard_filter
 from noisereduce_tpu.utils import io as nrio
 
-__all__ = ["reduce_noise_file"]
+__all__ = ["reduce_noise_file", "StreamingGate"]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method"))
@@ -207,6 +207,269 @@ def _batch_torch_sharded(batch, xn, gate, method, mesh, axis_name):
         lambda chunks: gate.batched_chunks(chunks, xn, method=method),
         batch, mesh, axis_name,
     )
+
+
+class StreamingGate:
+    """Real-time stateful spectral gate: feed successive audio blocks, get
+    denoised audio back at a fixed, documented latency.
+
+    The offline chunked runtime filters every halo'd chunk view
+    independently (halo recompute — parallel.chunking.process_chunked, the
+    TPU replacement for reference base.py:130-150). A live stream can
+    therefore emit block ``i`` as soon as ``padding`` samples of lookahead
+    have arrived: the emitted block is the core of the SAME view
+    ``[i*B - P, (i+1)*B + P)`` (zero-filled before the stream start) the
+    offline path would build, filtered by one pre-compiled XLA graph. The
+    concatenated stream output equals
+    ``reduce_noise(y, sr, chunk_size=block_size, padding=padding)`` for
+    every stream length — including short streams, where :meth:`flush`
+    reproduces the offline unchunked ±padding view — up to XLA
+    fusion-order float32 rounding (the offline path batches all chunks in
+    one program; tests/test_streaming.py pins the envelope).
+
+    Algorithmic latency: ``block_size + padding`` samples — a block is
+    emitted when the first ``padding`` samples of the next block have
+    arrived (``latency_s``). Compute adds one graph launch per block
+    (see the ``stream_gate_block_ms`` bench row).
+
+    Parameters mirror :func:`noisereduce_tpu.reduce_noise`; the reference
+    has no streaming API at all (its user buffers whole recordings).
+    Stationary self-noise statistics (``y_noise=None``) come from the
+    first ``block_size`` samples — exactly the offline
+    ``clip_noise_stationary=True`` semantics when ``chunk_size ==
+    block_size`` (stationary.py:47-64); pass ``y_noise`` for statistics
+    from a separate clip. ``clip_noise_stationary=False`` needs the whole
+    signal up front and is rejected.
+
+    >>> gate = StreamingGate(sr=48000, block_size=4800, padding=1024)
+    >>> out = []
+    >>> for block in capture():          # doctest: +SKIP
+    ...     out.append(gate.process(block))
+    >>> out.append(gate.flush())
+    """
+
+    def __init__(
+        self,
+        sr: int,
+        block_size: int = 4800,
+        padding: int = 1024,
+        stationary: bool = False,
+        y_noise: Optional[np.ndarray] = None,
+        prop_decrease: float = 1.0,
+        time_constant_s: float = 2.0,
+        freq_mask_smooth_hz: Optional[float] = 500,
+        time_mask_smooth_ms: Optional[float] = 50,
+        thresh_n_mult_nonstationary: float = 2,
+        sigmoid_slope_nonstationary: float = 10,
+        n_std_thresh_stationary: float = 1.5,
+        n_fft: int = 1024,
+        win_length: Optional[int] = None,
+        hop_length: Optional[int] = None,
+        clip_noise_stationary: bool = True,
+        method: str = "auto",
+        channels: int = 1,
+    ):
+        if block_size <= 0 or padding < 0:
+            raise ValueError("block_size must be > 0 and padding >= 0")
+        if stationary and y_noise is None and not clip_noise_stationary:
+            raise ValueError(
+                "clip_noise_stationary=False computes noise statistics over "
+                "the ENTIRE signal, which a live stream cannot see; pass "
+                "y_noise or keep clip_noise_stationary=True (statistics "
+                "from the first block)"
+            )
+        self.sr = sr
+        self.block_size = int(block_size)
+        self.padding = int(padding)
+        self.channels = int(channels)
+        self._stationary = stationary
+        self._method = method
+        self._cfg = GateConfig(
+            sr=sr,
+            stationary=stationary,
+            prop_decrease=prop_decrease,
+            time_constant_s=time_constant_s,
+            freq_mask_smooth_hz=freq_mask_smooth_hz,
+            time_mask_smooth_ms=time_mask_smooth_ms,
+            thresh_n_mult_nonstationary=thresh_n_mult_nonstationary,
+            sigmoid_slope_nonstationary=sigmoid_slope_nonstationary,
+            n_std_thresh_stationary=n_std_thresh_stationary,
+            n_fft=n_fft,
+            win_length=win_length,
+            hop_length=hop_length,
+            convention=Convention.SCIPY,
+        )
+        self._thresh = None
+        if stationary and y_noise is not None:
+            yn = np.asarray(y_noise, dtype=np.float32)
+            yn = yn if yn.ndim == 1 else yn.mean(axis=0)
+            if clip_noise_stationary:
+                yn = yn[: self.block_size]
+            self._thresh = _noise_threshold(jnp.asarray(yn), self._cfg, method)
+        # host stream state: _buf holds samples from position _buf_pos on;
+        # _emitted counts blocks already returned; _flushed latches the end
+        self._buf = np.zeros((self.channels, 0), np.float32)
+        self._buf_pos = 0  # stream position of _buf[:, 0]
+        self._emitted = 0
+        self._flushed = False
+        self._mono_in = self.channels == 1  # updated at the first process()
+
+    @property
+    def latency_samples(self) -> int:
+        """Input samples between a sample arriving and its denoised value
+        becoming available (worst case over the block): block + lookahead."""
+        return self.block_size + self.padding
+
+    @property
+    def latency_s(self) -> float:
+        return self.latency_samples / self.sr
+
+    def _received(self) -> int:
+        return self._buf_pos + self._buf.shape[-1]
+
+    def _ensure_thresh(self):
+        """Stationary self-noise: statistics from the first block's mono
+        mix (offline clip_noise_stationary semantics at chunk_size ==
+        block_size)."""
+        if self._thresh is None and self._stationary:
+            # first emission happens before any buffer trim (_drop_consumed
+            # keeps position 0 until block 0 is out), so the stream head is
+            # still resident
+            assert self._buf_pos == 0
+            head = self._buf[:, : self.block_size]
+            self._thresh = _noise_threshold(
+                jnp.asarray(head.mean(axis=0)), self._cfg, self._method
+            )
+
+    def _view(self, i: int, upto: Optional[int] = None) -> np.ndarray:
+        """Halo'd view of block ``i``: stream samples
+        [i*B - P, (i+1)*B + P), zero-filled outside [0, upto or received)
+        — byte-identical to parallel.chunking.extract_chunks's view."""
+        B, P = self.block_size, self.padding
+        s0, s1 = i * B - P, (i + 1) * B + P
+        n = self._received() if upto is None else min(upto, self._received())
+        view = np.zeros((self.channels, s1 - s0), np.float32)
+        lo, hi = max(0, s0), min(n, s1)
+        if hi > lo:
+            view[:, lo - s0 : hi - s0] = self._buf[
+                :, lo - self._buf_pos : hi - self._buf_pos
+            ]
+        return view
+
+    def _emit(self, i: int) -> np.ndarray:
+        """Filter block ``i``'s view through the pre-compiled graph and
+        return its (channels, block_size) core."""
+        self._ensure_thresh()
+        mode = "stationary" if self._stationary else "ns"
+        out = _chunk_core(
+            jnp.asarray(self._view(i)), self._thresh, None,
+            cfg=self._cfg, gate=None, method=self._method, mode=mode,
+            padding=self.padding, chunk_size=self.block_size, pcm_out=False,
+        )
+        return np.asarray(out)
+
+    def _drop_consumed(self):
+        """Free buffer samples no future view can read (keep from
+        _emitted*B - P on)."""
+        keep_from = max(0, self._emitted * self.block_size - self.padding)
+        if keep_from > self._buf_pos:
+            self._buf = self._buf[:, keep_from - self._buf_pos :]
+            self._buf_pos = keep_from
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        """Feed audio; return every block whose lookahead is now complete.
+
+        ``block``: (n,) mono or (channels, n) float samples, any length
+        (internally buffered; emission happens in ``block_size`` units).
+        Returns (n_out,) / (channels, n_out) with ``n_out`` a multiple of
+        ``block_size`` (possibly 0 while the pipeline fills).
+        """
+        if self._flushed:
+            raise RuntimeError("StreamingGate.process called after flush()")
+        x = np.asarray(block, dtype=np.float32)
+        mono_in = x.ndim == 1
+        self._mono_in = mono_in
+        if mono_in:
+            x = x[None]
+        if x.shape[0] != self.channels:
+            raise ValueError(
+                f"expected {self.channels} channel(s), got {x.shape[0]} "
+                "(set channels= in the constructor)"
+            )
+        self._buf = np.concatenate([self._buf, x], axis=-1)
+        B, P = self.block_size, self.padding
+        cores = []
+        while self._received() >= (self._emitted + 1) * B + P:
+            cores.append(self._emit(self._emitted))
+            self._emitted += 1
+            self._drop_consumed()
+        out = (
+            np.concatenate(cores, axis=-1)
+            if cores else np.zeros((self.channels, 0), np.float32)
+        )
+        return out[0] if mono_in else out
+
+    def flush(self) -> np.ndarray:
+        """End the stream: emit everything still buffered.
+
+        The tail views are zero-filled past the stream end exactly as the
+        offline chunk extractor zero-extends the signal; if the WHOLE
+        stream fit in one block, the offline unchunked ±padding view is
+        reproduced instead (its IIR floor spans different frames, so the
+        view length matters — chunking.process_chunked). After flush the
+        gate must not be fed again.
+        """
+        mono = self._mono_in
+        if self._flushed:
+            out = np.zeros((self.channels, 0), np.float32)
+            return out[0] if mono else out
+        self._flushed = True
+        n = self._received()
+        B, P = self.block_size, self.padding
+        if n == 0:
+            out = np.zeros((self.channels, 0), np.float32)
+        elif n <= B and self._emitted == 0:
+            # offline unchunked fast path: view is (n + 2P), not a
+            # zero-extended full block
+            self._ensure_thresh()
+            x = jnp.pad(jnp.asarray(self._buf), [(0, 0), (P, P)])
+            if self._stationary:
+                filtered = _chunk_stationary(x, self._thresh, self._cfg,
+                                             self._method)
+            else:
+                filtered = _chunk_nonstationary(x, self._cfg, self._method)
+            out = np.asarray(filtered[..., P : P + n])
+        else:
+            n_blocks = (n - 1) // B + 1
+            cores = []
+            for i in range(self._emitted, n_blocks):
+                core = self._emit(i)
+                if (i + 1) * B > n:  # crop the final partial block
+                    core = core[:, : n - i * B]
+                cores.append(core)
+                self._emitted = i + 1
+            out = (
+                np.concatenate(cores, axis=-1)
+                if cores else np.zeros((self.channels, 0), np.float32)
+            )
+        return out[0] if mono else out
+
+    def warmup(self):
+        """Compile the block graph before real-time use (first XLA compile
+        is seconds; subsequent launches are milliseconds). Streams a silent
+        block through a throwaway clone so no state is disturbed."""
+        clone = object.__new__(StreamingGate)
+        clone.__dict__.update(self.__dict__)
+        clone._buf = np.zeros((self.channels, 0), np.float32)
+        clone._buf_pos = 0
+        clone._emitted = 0
+        clone._flushed = False
+        if clone._thresh is None and clone._stationary:
+            clone._thresh = _noise_threshold(
+                jnp.zeros(self.block_size), clone._cfg, clone._method
+            )
+        clone._emit(0)
+        return self
 
 
 def reduce_noise_file(
