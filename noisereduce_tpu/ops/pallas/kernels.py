@@ -823,16 +823,12 @@ def _apply_istft_kernel(
             rr, ii = _hermitian_fix(rr, ii, j, col_dc, n_bins - bin0)
             return _hann_stencil_lanes(rr, ii, post)
 
-        # the H-row lookback is carried from the previous iteration's
-        # processed block (bit-identical: every step is row-local) instead
-        # of recomputed
-        def body(tb, carry):
-            pre_re, pre_im = carry
-            s = pl.multiple_of(tb * _TB, _TB)
-            cur_re, cur_im = y_window(s)
+        def u_for(pre_re, pre_im, cur_re, cur_im):
+            """Synthesis operand for one block from its H-row lookback +
+            current rows: rows of w* are Y[s-H .. s+_TB);
+            Y[m-k] = w*[H - k + (m - s)]."""
             wre = jnp.concatenate([pre_re, cur_re], axis=0)
             wim = jnp.concatenate([pre_im, cur_im], axis=0)
-            # rows of w* are Y[s-H .. s+_TB); Y[m-k] = w*[H - k + (m - s)]
             parts_re = [
                 jax.lax.slice_in_dim(wre, H - k, H - k + _TB, axis=0)
                 for k in range(r)
@@ -842,23 +838,46 @@ def _apply_istft_kernel(
                 for k in range(r)
             ]
             ure, uim = _twiddle_combine(parts_re, parts_im, r, tw_rows)
+            return jnp.concatenate([ure, uim], axis=1)
+
+        # Software-pipelined one block ahead, like the spectra phase: the
+        # whole VPU chain (mask multiply, Hermitian fix, Hann stencil,
+        # twiddle combine) for block tb+1 is computed in the same loop body
+        # as block tb's synthesis dot — the two are independent, so Mosaic
+        # co-issues the VPU chain under the MXU passes (measured round 5:
+        # the serial body ran dots+VPU back to back, ~5 ms/960 s of VPU
+        # fully exposed). The operand u and the H-row lookback ride the
+        # carry; every step is row-local, so results are bit-identical.
+        def y_clamped(tb):
+            s = pl.multiple_of(
+                jnp.minimum(tb, n_tb - 1) * _TB, _TB
+            )
+            return y_window(s)
+
+        def body(tb, carry):
+            u_cur, cur_re, cur_im = carry
+            # prefetch block tb+1's operand (VPU; clamped at the tail — the
+            # last iteration recomputes block n_tb-1's operand and drops it)
+            nxt_re, nxt_im = y_clamped(tb + 1)
+            u_next = u_for(
+                jax.lax.slice_in_dim(cur_re, _TB - H, _TB, axis=0),
+                jax.lax.slice_in_dim(cur_im, _TB - H, _TB, axis=0),
+                nxt_re, nxt_im,
+            )
             # one (TB, 256) @ (256, hop) dot: real/imag operands stacked
             # along the contraction — doubles the MXU K depth vs two 128-K
             # dots
-            u = jnp.concatenate([ure, uim], axis=1)
+            s = pl.multiple_of(tb * _TB, _TB)
             pk = jnp.dot(
-                u, cisi, preferred_element_type=jnp.float32, precision=prec
+                u_cur, cisi, preferred_element_type=jnp.float32,
+                precision=prec,
             )
             out_ref[0, pl.ds(s, _TB), :] = out_ref[0, pl.ds(s, _TB), :] + pk
-            return (
-                jax.lax.slice_in_dim(cur_re, _TB - H, _TB, axis=0),
-                jax.lax.slice_in_dim(cur_im, _TB - H, _TB, axis=0),
-            )
+            return (u_next, nxt_re, nxt_im)
 
-        carry0 = (
-            jnp.zeros((H, _FT), jnp.float32),
-            jnp.zeros((H, _FT), jnp.float32),
-        )
+        zH = jnp.zeros((H, _FT), jnp.float32)
+        cur0_re, cur0_im = y_clamped(0)
+        carry0 = (u_for(zH, zH, cur0_re, cur0_im), cur0_re, cur0_im)
         _floop(n_tb, body, carry0)
 
     if inv is not None or oacc_ref is not None:
