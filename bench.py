@@ -464,9 +464,51 @@ def _measure_tpu(extras):
             extras["batch_32x15s_bf16_onchip_rtf_est"] = round(
                 32 * 15 / (t_b - t_launch_b / 1e3), 1
             )
+        # device-trace on-chip time for the batch graph itself (the
+        # wall-minus-probe estimate inherits the probe's tunnel noise)
+        try:
+            _phase_attribution(extras, batch_fn, yb, prefix="batch_")
+            mod = extras.get("batch_phase_module_ms_per_run")
+            if mod:
+                extras["batch_32x15s_bf16_onchip_rtf_traced"] = round(
+                    32 * 15 / (mod / 1e3), 1
+                )
+        except Exception as e:
+            extras["batch_trace_probe_error"] = repr(e)[:120]
+        # semantic padding waste of this clip length: 15 s = 720000 samples
+        # = 1.2 chunks; the reference zero-extends every chunk view to
+        # chunk+2*pad (base.py:130-148), so the device filters
+        # 2*(chunk+2*pad) samples per 720000 real ones. Recorded so the
+        # on-chip number reads against the right ceiling.
+        k_clip = (SR * 15 - 1) // CHUNK + 1
+        extras["batch_pad_work_factor"] = round(
+            k_clip * (CHUNK + 2 * PAD) / (SR * 15), 2
+        )
         del yb
     except Exception as e:
         extras["batch_probe_error"] = repr(e)[:120]
+
+    # --- StreamingGate block latency (live capture, VERDICT r4 item 7) -------
+    # per-process() compute for a 100 ms block at 48 kHz: the number to add
+    # to the 121.3 ms algorithmic latency (block 4800 + padding 1024)
+    try:
+        from noisereduce_tpu.streaming import StreamingGate
+
+        sg = StreamingGate(sr=48000, block_size=4800, padding=1024).warmup()
+        blocks = rng.standard_normal((64, 4800)).astype(np.float32)
+        sg.process(blocks[0])  # prime the pipeline (block 0 needs lookahead)
+        times = []
+        for blk in blocks[1:]:
+            t0 = time.perf_counter()
+            out = sg.process(blk)
+            times.append(time.perf_counter() - t0)
+            assert out.shape == (4800,)
+        extras["stream_gate_block_ms"] = round(
+            float(np.median(times)) * 1e3, 2
+        )
+        extras["stream_gate_latency_ms"] = round(sg.latency_s * 1e3, 1)
+    except Exception as e:
+        extras["stream_probe_error"] = repr(e)[:120]
 
     return rtf
 
