@@ -31,7 +31,7 @@ try:
 
     __version__ = _dist_version("noisereduce-tpu")
 except _PkgNotFound:  # running from a source checkout
-    __version__ = "0.4.0"
+    __version__ = "0.5.0"
 
 __all__ = [
     "reduce_noise",
