@@ -225,11 +225,14 @@ def _measure_tpu(extras):
             # In-graph checksum: synchronizing on a 4-byte scalar forces
             # real completion even through remote-execution tunnels where
             # block_until_ready returns early, without timing a huge D2H.
-            # STRIDED reads: the Pallas custom-call computes every element
-            # regardless (it cannot be partially dead-code-eliminated), and
-            # a full-array reduce over the misaligned core measurably
-            # perturbs the graph (XLA inserts a transposed relayout copy).
-            return jnp.sum(out[..., ::1999].astype(jnp.float32))
+            # A SMALL ALIGNED slice: the Pallas custom-call computes every
+            # element regardless (it cannot be partially dead-code-
+            # eliminated), a full-array reduce over the misaligned core
+            # measurably perturbs the graph (XLA inserts a transposed
+            # relayout copy), and the round-4 strided sample (::1999)
+            # lowered to a gather worth ~0.46 ms of data-movement on this
+            # headline graph (module 10.27 -> 9.81 ms after the switch).
+            return jnp.sum(out[..., :4096].astype(jnp.float32))
 
         return forward
 
@@ -451,7 +454,11 @@ def _measure_tpu(extras):
         def batch_fn(y):
             out = _run_nonstationary(y, cfg, CHUNK, PAD, "matmul",
                                      cores=True)
-            return jnp.sum(out[..., ::1999].astype(jnp.float32))
+            # aligned-slice checksum (see forward_fn). Measured: this
+            # graph's ~1.4 ms "other" bucket is NOT the checksum — it is
+            # unchanged under strided, aligned, and near-zero checksum
+            # forms (device traces, NOTES.md round 5).
+            return jnp.sum(out[..., :4096].astype(jnp.float32))
 
         t_b = timeit(batch_fn, yb, reps=4)
         extras["batch_32x15s_bf16_rtf"] = round(32 * 15 / t_b, 1)

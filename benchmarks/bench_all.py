@@ -33,12 +33,14 @@ CHUNK, PAD = 600000, 30000
 
 
 def _checksum(out):
-    # Strided native-layout reads (see bench.py): a full reduce over the
+    # Small aligned-slice read (see bench.py): a full reduce over the
     # tile-misaligned (ch, k, 600000) core measurably perturbs the graph,
-    # and the Pallas custom-call computes every element regardless.
+    # a strided (::1999) sample lowers to a gather worth ~0.46 ms of
+    # data-movement on the headline graph, and the Pallas custom-call
+    # computes every element regardless.
     if out.ndim == 0:
         return out
-    return jnp.sum(out[..., ::1999].astype(jnp.float32))
+    return jnp.sum(out[..., :4096].astype(jnp.float32))
 
 
 def timeit(fn, *args, iters=5):
