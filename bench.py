@@ -111,17 +111,32 @@ def _roofline_model(n_samples, chunk, pad, fast):
 
 
 def _roofline_extras(extras, prefix, t_wall, t_launch, fast):
-    """Attach roofline_fraction/MFU for a measured headline run."""
+    """Attach roofline_fraction/MFU for a measured headline run.
+
+    On-chip time prefers the DEVICE-TRACED module span captured by
+    _phase_attribution (``{prefix}_phase_module_ms_per_run`` — round-5
+    finding: the wall-minus-launch subtraction inherits the launch
+    probe's session jitter, which can inflate MFU past the trace by
+    1.5x; the trace is immune). Falls back to wall-minus-launch when no
+    trace was captured, and says which source it used."""
     t_mxu, t_hbm, flops, nbytes = _roofline_model(SR * DURATION_S, CHUNK,
                                                   PAD, fast)
     extras[f"{prefix}_model_mxu_ms"] = round(t_mxu * 1e3, 2)
     extras[f"{prefix}_model_hbm_ms"] = round(t_hbm * 1e3, 2)
-    if t_wall <= t_launch * 1.05:
+    trace_key = ("phase_module_ms_per_run" if prefix == "bf16"
+                 else f"{prefix}_phase_module_ms_per_run")
+    traced_ms = extras.get(trace_key)
+    if traced_ms:
+        t_onchip = traced_ms / 1e3
+        extras[f"{prefix}_mfu_source"] = "device_trace"
+    elif t_wall <= t_launch * 1.05:
         # a loaded host can inflate the launch probe past the wall time;
         # an on-chip estimate from that subtraction would be meaningless
         extras[f"{prefix}_roofline_note"] = "skipped: launch probe >= wall"
         return
-    t_onchip = t_wall - t_launch
+    else:
+        t_onchip = t_wall - t_launch
+        extras[f"{prefix}_mfu_source"] = "wall_minus_launch"
     binding = max(t_mxu, t_hbm)
     extras[f"{prefix}_roofline_fraction"] = round(binding / t_onchip, 3)
     extras[f"{prefix}_mfu"] = round(flops / t_onchip / _PEAK_BF16_FLOPS, 3)
@@ -282,6 +297,13 @@ def _measure_tpu(extras):
         if t_head > t_launch:
             extras["onchip_rtf_est"] = round(
                 DURATION_S / (t_head - t_launch), 1
+            )
+        # the trace-backed on-chip RTF (the honest one — the est above
+        # inherits launch-probe jitter both ways; see _roofline_extras)
+        traced_ms = extras.get("phase_module_ms_per_run")
+        if traced_ms:
+            extras["onchip_rtf_traced"] = round(
+                DURATION_S / (traced_ms / 1e3), 1
             )
         # roofline/MFU vs the chip's limits (VERDICT r2 item 3): the
         # fraction of the binding resource's theoretical time in the

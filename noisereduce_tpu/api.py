@@ -762,10 +762,13 @@ def reduce_noise_batch(ys, sr, y_noise=None, **kwargs):
     per_row = stationary and (per_signal_noise or y_noise is None)
 
     out: list = [None] * len(ys)
-    if per_signal_noise and any(np.asarray(c).ndim != 1 for c in y_noise):
+    if (stationary and per_signal_noise
+            and any(np.asarray(c).ndim != 1 for c in y_noise)):
         # per-signal MULTICHANNEL clips would need a mono collapse outside
-        # the gate's compute dtype to batch bitwise; keep those per-signal —
-        # the launches still PIPELINE: every launch is queued (deferred)
+        # the gate's compute dtype to batch bitwise; keep those per-signal.
+        # (Non-stationary gates never read the noise, so their batches stay
+        # batched and the clips are simply dropped below.) Per-signal
+        # launches still PIPELINE: every launch is queued (deferred)
         # before the first result is pulled to the host, so device work for
         # signal i+1 overlaps the transfer/sync of signal i
         pending = [

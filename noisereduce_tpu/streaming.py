@@ -269,8 +269,10 @@ class StreamingGate:
         method: str = "auto",
         channels: int = 1,
     ):
-        if block_size <= 0 or padding < 0:
-            raise ValueError("block_size must be > 0 and padding >= 0")
+        if block_size <= 0 or padding < 0 or channels < 1:
+            raise ValueError(
+                "block_size must be > 0, padding >= 0, channels >= 1"
+            )
         if stationary and y_noise is None and not clip_noise_stationary:
             raise ValueError(
                 "clip_noise_stationary=False computes noise statistics over "
@@ -341,13 +343,13 @@ class StreamingGate:
                 jnp.asarray(head.mean(axis=0)), self._cfg, self._method
             )
 
-    def _view(self, i: int, upto: Optional[int] = None) -> np.ndarray:
+    def _view(self, i: int) -> np.ndarray:
         """Halo'd view of block ``i``: stream samples
-        [i*B - P, (i+1)*B + P), zero-filled outside [0, upto or received)
+        [i*B - P, (i+1)*B + P), zero-filled outside [0, received)
         — byte-identical to parallel.chunking.extract_chunks's view."""
         B, P = self.block_size, self.padding
         s0, s1 = i * B - P, (i + 1) * B + P
-        n = self._received() if upto is None else min(upto, self._received())
+        n = self._received()
         view = np.zeros((self.channels, s1 - s0), np.float32)
         lo, hi = max(0, s0), min(n, s1)
         if hi > lo:

@@ -115,6 +115,23 @@ def test_batch_per_signal_2d_clips_fall_back(monkeypatch):
         np.testing.assert_array_equal(g, want)
 
 
+def test_batch_nonstationary_2d_clips_still_batch(monkeypatch):
+    # the non-stationary gate never reads the noise, so per-signal
+    # MULTICHANNEL clips must NOT trigger the per-signal fallback — the
+    # group stays one batched launch and the clips are dropped
+    calls = _count_deferred(monkeypatch)
+    ys = _signals()[:2]
+    clips = [
+        (0.2 * RNG.standard_normal((2, 6000))).astype(np.float32),
+        (0.4 * RNG.standard_normal((2, 6000))).astype(np.float32),
+    ]
+    got = reduce_noise_batch(ys, SR, y_noise=clips, stationary=False)
+    assert len(calls) == 1  # one batched launch, not len(ys) fallbacks
+    for y, c, g in zip(ys, clips, got):
+        want = reduce_noise(y=y, sr=SR, y_noise=c, stationary=False)
+        np.testing.assert_array_equal(g, want)
+
+
 def test_batch_stationary_self_noise_chunked_exact(monkeypatch):
     # chunked geometry: per-row (B, bins) thresholds broadcast across the
     # chunk axis the combinator inserts (models.spectral_gate._align_thresh)

@@ -104,6 +104,8 @@ def test_full_signal_rejected_modes():
                       clip_noise_stationary=False)
     with pytest.raises(ValueError, match="block_size"):
         StreamingGate(SR, 0, P)
+    with pytest.raises(ValueError, match="channels"):
+        StreamingGate(SR, B, P, channels=0)
     gate = StreamingGate(SR, B, P)  # channels=1 default
     with pytest.raises(ValueError, match="channel"):
         gate.process(np.zeros((2, 100), np.float32))
