@@ -1,4 +1,5 @@
 """Error-path parity with the reference's constructor validations."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -49,3 +50,61 @@ def test_public_signature_is_reference_plus_documented_extras():
     extras = ["compute_dtype", "method", "mesh", "max_parallel_chunks"]
     assert params == reference + extras
     assert not any(p.startswith("_") for p in params)
+
+
+def test_silence_semantics_oracle_vs_fused():
+    """Digital silence (all-zero input) is degenerate for the
+    non-stationary gate: the reference's ``(|Z| - floor) / floor`` is 0/0
+    and its whole output is NaN (verified live: 100% NaN on an 8000-zero
+    signal). Two pinned behaviors here:
+
+    - the staged jnp path (the float64 oracle this suite runs) reproduces
+      the reference's NaN — degenerate-input parity;
+    - the fused production kernels substitute a safe divisor and emit
+      FINITE output (all-zero, in fact) — the documented intentional
+      divergence (ops/pallas_mask.py's fused_nonstationary_mask docstring;
+      silence is a realistic serving input: VAD gaps, padded streams).
+    """
+    out = nr.reduce_noise(y=np.zeros(8000), sr=22050)
+    assert out.shape == (8000,)
+    assert np.isnan(out).any()  # oracle == reference on degenerate input
+
+    from noisereduce_tpu.config import GateConfig
+    from noisereduce_tpu.ops.pallas.dispatch import (
+        _fused_gate_impl,
+        fused_gate_supported,
+    )
+
+    cfg = GateConfig(sr=48000, stationary=False)
+    n = 48000
+    assert fused_gate_supported(cfg, n, cfg.smoothing[1] if cfg.smoothing else 0)
+    got = np.asarray(
+        _fused_gate_impl(jnp.zeros((1, n), jnp.float32), cfg, interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    assert np.all(got == 0.0)
+
+    # the stationary engine has no 0/0 (binary threshold on dB values):
+    # silence stays silent on the staged path too
+    out_st = nr.reduce_noise(y=np.zeros(8000), sr=22050, stationary=True)
+    assert np.all(out_st == 0.0)
+
+
+def test_stationary_noise_clip_shorter_than_window():
+    """Documented divergence from the reference: a stationary noise clip
+    shorter than ``win_length - hop_length + 1`` samples crashes the
+    reference inside scipy ("noverlap must be less than nperseg", because
+    scipy clamps nperseg to the clip length while noverlap stays
+    win_length - hop_length; verified live at n_fft=1024: clips < 769
+    samples raise, >= 769 pass). Short clips are legitimate — a user
+    hands over whatever noise-only span they have — so here the STFT's
+    own zero-padded framing applies and the gate runs."""
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(8000)
+    for n_clip in (600, 100):
+        out = nr.reduce_noise(
+            y=y.copy(), sr=22050, stationary=True,
+            y_noise=rng.standard_normal(n_clip),
+        )
+        assert out.shape == y.shape
+        assert np.all(np.isfinite(out))
